@@ -1,0 +1,3 @@
+from sensorium_tpu.compat.torch_weights import (  # noqa: F401
+    convert_torch_state_dict,
+)

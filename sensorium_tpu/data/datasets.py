@@ -1,0 +1,188 @@
+"""Host-side datasets feeding the TPU training/validation loops.
+
+Capability parity with ``/root/reference/src/datasets.py`` (random-window
+training samples, deterministic non-overlapping validation windows, the
+10-mouse concatenation with per-sample mouse weights), redesigned for a
+JAX/TPU pipeline:
+
+* trial ``.npy`` files are opened once with ``mmap_mode="r"`` and windows
+  are gathered by fancy-indexing the memory map — the reference re-reads
+  the whole file for every sample (``datasets.py:37-51``);
+* batches use a compact structure-of-arrays format: instead of 10 mostly
+  zero per-mouse target tensors, a batch carries one zero-padded target
+  array ``(B, max_neurons, T)`` plus a one-hot ``(B, num_mice)`` weight
+  matrix.  Downstream loss/metrics mask by weight, which is numerically
+  identical to the reference format;
+* randomness is driven by explicit ``np.random.Generator`` seeds derived
+  from ``(base_seed, epoch, sample_index)``, so runs are reproducible
+  (the reference deliberately seeds from wall-clock time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from sensorium_tpu import constants
+from sensorium_tpu.data.indexes import WindowIndexer
+from sensorium_tpu.data.inputs import InputsProcessor
+from sensorium_tpu.data.mixers import Mixer
+from sensorium_tpu.data.responses import ResponsesProcessor
+
+
+@dataclass
+class MiceBatch:
+    """One collated batch in compact (padded) form."""
+
+    inputs: np.ndarray  # (B, 5, T, H, W) float32
+    targets: np.ndarray  # (B, max_neurons, T) float32, zero-padded per mouse
+    weights: np.ndarray  # (B, num_mice) float32, one-hot by sample's mouse
+
+    def __len__(self) -> int:
+        return self.inputs.shape[0]
+
+
+class MouseTrialStore:
+    """Memory-mapped access to one mouse's trials with window gathering."""
+
+    def __init__(
+        self,
+        mouse_data: dict,
+        indexer: WindowIndexer,
+        inputs_processor: InputsProcessor,
+        responses_processor: ResponsesProcessor,
+    ):
+        self.mouse_data = mouse_data
+        self.mouse = mouse_data["mouse"]
+        self.mouse_index = constants.mouse2index[self.mouse]
+        self.num_neurons = mouse_data["num_neurons"]
+        self.indexer = indexer
+        self.inputs_processor = inputs_processor
+        self.responses_processor = responses_processor
+        self.trials = mouse_data["trials"]
+        self.trial_lengths = [t["length"] for t in self.trials]
+        self._mmap_cache: dict[str, np.ndarray] = {}
+
+    def _array(self, path: str) -> np.ndarray:
+        arr = self._mmap_cache.get(path)
+        if arr is None:
+            arr = np.load(path, mmap_mode="r")
+            self._mmap_cache[path] = arr
+        return arr
+
+    def gather(self, trial_index: int, frame_indexes: np.ndarray, key: str) -> np.ndarray:
+        return np.asarray(self._array(self.trials[trial_index][key])[..., frame_indexes])
+
+    def window_sample(
+        self, trial_index: int, anchor: int, with_responses: bool = True
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Assemble (input, target) for the window anchored at ``anchor``."""
+        frame_indexes = self.indexer.window(anchor)
+        frames = self.gather(trial_index, frame_indexes, "video_path")
+        behavior = self.gather(trial_index, frame_indexes, "behavior_path")
+        pupil_center = self.gather(trial_index, frame_indexes, "pupil_center_path")
+        inputs = self.inputs_processor(frames, behavior, pupil_center)
+        target = None
+        if with_responses and "response_path" in self.trials[trial_index]:
+            responses = self.gather(trial_index, frame_indexes, "response_path")
+            target = self.responses_processor(responses)
+        return inputs, target
+
+
+class TrainMiceDataset:
+    """Random-window training sampler over all mice.
+
+    Index space is ``num_mice * mouse_epoch_size``; index -> mouse by
+    block (samples [m*E, (m+1)*E) belong to mouse m).  Each sample draws a
+    random trial and a random valid anchor, optionally mixed (CutMix) with
+    the following sample of the same mouse.
+    """
+
+    def __init__(
+        self,
+        mice_data: list[dict],
+        indexer: WindowIndexer,
+        inputs_processor: InputsProcessor,
+        responses_processor: ResponsesProcessor,
+        mouse_epoch_size: int,
+        mixer: Mixer | None = None,
+        seed: int = 0,
+    ):
+        assert [constants.mouse2index[d["mouse"]] for d in mice_data] == constants.mice_indexes
+        self.stores = [
+            MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
+        ]
+        self.mouse_epoch_size = mouse_epoch_size
+        self.mixer = mixer
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return constants.num_mice * self.mouse_epoch_size
+
+    def _draw(self, store: MouseTrialStore, rng: np.random.Generator):
+        trial_index = int(rng.integers(len(store.trials)))
+        length = store.trial_lengths[trial_index]
+        anchor = int(rng.integers(store.indexer.behind, length - store.indexer.ahead))
+        return store.window_sample(trial_index, anchor)
+
+    def get(self, index: int, epoch: int = 0) -> tuple[int, np.ndarray, np.ndarray]:
+        """Returns (mouse_index, input, target)."""
+        mouse_index = index // self.mouse_epoch_size
+        store = self.stores[mouse_index]
+        rng = np.random.default_rng((self.seed, epoch, index))
+        inputs, target = self._draw(store, rng)
+        if self.mixer is not None and self.mixer.use(rng):
+            partner_rng = np.random.default_rng((self.seed, epoch, index, 1))
+            partner = self._draw(store, partner_rng)
+            inputs, target = self.mixer((inputs, target), partner, rng)
+        return mouse_index, inputs, target
+
+
+class ValMiceDataset:
+    """Deterministic non-overlapping validation windows over all mice."""
+
+    def __init__(
+        self,
+        mice_data: list[dict],
+        indexer: WindowIndexer,
+        inputs_processor: InputsProcessor,
+        responses_processor: ResponsesProcessor,
+    ):
+        assert [constants.mouse2index[d["mouse"]] for d in mice_data] == constants.mice_indexes
+        self.stores = [
+            MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
+        ]
+        # Flat index -> (mouse, trial, window_position)
+        self._samples: list[tuple[int, int, int]] = []
+        width = indexer.width
+        for mouse_index, store in enumerate(self.stores):
+            for trial_index, length in enumerate(store.trial_lengths):
+                for position in range(length // width):
+                    self._samples.append((mouse_index, trial_index, position))
+        self.width = width
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+    def get(self, index: int, epoch: int = 0) -> tuple[int, np.ndarray, np.ndarray]:
+        mouse_index, trial_index, position = self._samples[index]
+        store = self.stores[mouse_index]
+        anchor = store.indexer.behind + position * self.width
+        inputs, target = store.window_sample(trial_index, anchor)
+        return mouse_index, inputs, target
+
+
+def collate_mice_batch(samples: list[tuple[int, np.ndarray, np.ndarray]]) -> MiceBatch:
+    """Collate (mouse_index, input, target) triples into a padded MiceBatch."""
+    batch = len(samples)
+    first_input = samples[0][1]
+    inputs = np.empty((batch,) + first_input.shape, dtype=np.float32)
+    time_shape = samples[0][2].shape[1:]  # () or (T,)
+    targets = np.zeros((batch, constants.max_num_neurons) + time_shape, dtype=np.float32)
+    weights = np.zeros((batch, constants.num_mice), dtype=np.float32)
+    for row, (mouse_index, sample_input, sample_target) in enumerate(samples):
+        inputs[row] = sample_input
+        targets[row, : sample_target.shape[0]] = sample_target
+        weights[row, mouse_index] = 1.0
+    return MiceBatch(inputs=inputs, targets=targets, weights=weights)

@@ -1,0 +1,112 @@
+"""Trial catalog construction for each mouse.
+
+Builds, from the on-disk dataset layout
+(``<sensorium_dir>/<mouse>/{data,meta}/...``), the list of trials belonging
+to a set of splits, together with per-trial file paths and NaN-trimmed
+lengths.  Fold splits are derived from video perceptual hashes so duplicate
+stimulus videos share a fold (group k-fold).  Capability parity with
+``/root/reference/src/data.py``.
+
+Differences from the reference:
+* fold tiers are cached per process (the reference re-hashes every video on
+  every call);
+* all metadata loads go through ``np.load(..., mmap_mode="r")`` where the
+  full array is not needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from sensorium_tpu import constants
+from sensorium_tpu.data.phash import video_phash
+from sensorium_tpu.utils import get_length_without_nan
+
+
+def mouse_dir(mouse: str):
+    return constants.sensorium_dir / mouse
+
+
+def compute_video_phashes(mouse: str) -> np.ndarray:
+    """Per-trial uint64 pHash (0 for trials with tier 'none')."""
+    tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy"))
+    phashes = np.zeros(tiers.shape[0], dtype=np.uint64)
+    for trial_id, tier in enumerate(tiers):
+        if tier == "none":
+            continue
+        video = np.load(str(mouse_dir(mouse) / "data" / "videos" / f"{trial_id}.npy"), mmap_mode="r")
+        phashes[trial_id] = video_phash(np.asarray(video))
+    return phashes
+
+
+@functools.lru_cache(maxsize=None)
+def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
+    """Tier array with labeled trials re-assigned to 'fold_{phash % num_folds}'.
+
+    For "new" mice only the train/oracle tiers carry responses, so only
+    those are folded.  For "old" mice the test-split responses were
+    back-filled by the downloader, so every non-'none' tier is folded.
+    """
+    tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy")).copy()
+    phashes = compute_video_phashes(mouse)
+    if mouse in constants.new_mice:
+        labeled = (tiers == "train") | (tiers == "oracle")
+    else:
+        labeled = tiers != "none"
+    for trial_id in np.argwhere(labeled).ravel():
+        tiers[trial_id] = f"fold_{int(phashes[trial_id]) % num_folds}"
+    return tiers
+
+
+def get_mouse_data(mouse: str, splits: list[str]) -> dict:
+    """Catalog of trials for ``mouse`` restricted to ``splits``.
+
+    Returns a dict with neuron metadata and a ``trials`` list; each trial
+    carries its id, usable length, and paths to the video / behavior /
+    pupil-center (and responses, when the split is labeled) arrays.
+    """
+    assert mouse in constants.mice
+    tiers = get_folds_tiers(mouse, constants.num_folds)
+    mdir = mouse_dir(mouse)
+    neuron_ids = np.load(str(mdir / "meta" / "neurons" / "unit_ids.npy"))
+    cell_motor_coords = np.load(str(mdir / "meta" / "neurons" / "cell_motor_coordinates.npy"))
+
+    catalog = {
+        "mouse": mouse,
+        "splits": splits,
+        "neuron_ids": neuron_ids,
+        "num_neurons": int(neuron_ids.shape[0]),
+        "cell_motor_coordinates": cell_motor_coords,
+        "trials": [],
+    }
+
+    for split in splits:
+        if split in constants.folds_splits:
+            labeled = True
+        elif split in constants.unlabeled_splits:
+            labeled = False
+        else:
+            raise ValueError(f"Unknown data split '{split}'")
+
+        for trial_id in np.argwhere(tiers == split).ravel().tolist():
+            behavior_path = str(mdir / "data" / "behavior" / f"{trial_id}.npy")
+            trial = {
+                "trial_id": trial_id,
+                "video_path": str(mdir / "data" / "videos" / f"{trial_id}.npy"),
+                "behavior_path": behavior_path,
+                "pupil_center_path": str(mdir / "data" / "pupil_center" / f"{trial_id}.npy"),
+                "length": get_length_without_nan(
+                    np.asarray(np.load(behavior_path, mmap_mode="r")[0])
+                ),
+            }
+            if labeled:
+                response_path = str(mdir / "data" / "responses" / f"{trial_id}.npy")
+                trial["response_path"] = response_path
+                trial["length"] = get_length_without_nan(
+                    np.asarray(np.load(response_path, mmap_mode="r")[0])
+                )
+            catalog["trials"].append(trial)
+
+    return catalog

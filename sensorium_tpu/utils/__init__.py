@@ -1,0 +1,5 @@
+from sensorium_tpu.utils.misc import (  # noqa: F401
+    get_best_model_path,
+    get_length_without_nan,
+    get_lr,
+)

@@ -1,0 +1,119 @@
+"""Numerical parity of the JAX DwiseNeuro against golden activations
+captured from the PyTorch reference implementation (tests/golden)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sensorium_tpu.compat import convert_torch_state_dict
+from sensorium_tpu.models.dwiseneuro import DwiseNeuro
+
+GOLDEN_PATH = Path(__file__).parent / "golden" / "dwiseneuro_small.npz"
+
+READOUT_OUTPUTS = (11, 7, 10)
+MODEL_KWARGS = dict(
+    readout_outputs=READOUT_OUTPUTS,
+    in_channels=5,
+    core_features=(8, 12),
+    spatial_strides=(2, 1),
+    spatial_kernel=3,
+    temporal_kernel=5,
+    expansion_ratio=2,
+    se_reduce_ratio=4,
+    cortex_features=(16, 24),
+    groups=2,
+    softplus_beta=0.07,
+    drop_rate=0.0,
+    drop_path_rate=0.0,
+    dtype=jnp.float32,
+    readout_pad_multiple=8,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN_PATH)
+
+
+def torch_state_dict(golden, prefix: str) -> dict:
+    return {
+        key.split(":", 1)[1]: golden[key]
+        for key in golden.files
+        if key.startswith(prefix + ":")
+    }
+
+
+@pytest.fixture(scope="module")
+def model():
+    return DwiseNeuro(**MODEL_KWARGS)
+
+
+@pytest.fixture(scope="module")
+def variables(golden, model):
+    params, stats = convert_torch_state_dict(
+        torch_state_dict(golden, "sd0"),
+        readout_outputs=list(READOUT_OUTPUTS),
+        num_core_blocks=2,
+        num_cortex_layers=2,
+        groups=2,
+        padded_group_size=model.padded_group_size,
+    )
+    return {"params": params, "batch_stats": stats}
+
+
+def test_converted_tree_matches_init_structure(model, variables):
+    init_vars = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 5, 8, 16, 16), jnp.float32), train=False
+    )
+    init_shapes = jax.tree.map(lambda a: a.shape, init_vars)
+    conv_shapes = jax.tree.map(lambda a: np.asarray(a).shape, variables)
+    assert init_shapes == conv_shapes
+
+
+def test_eval_forward_matches_torch(golden, model, variables):
+    out = model.apply(variables, golden["input"], train=False)
+    assert out.shape == (3, 2, max(READOUT_OUTPUTS), 8)
+    for mouse, num in enumerate(READOUT_OUTPUTS):
+        expected = golden[f"eval_out:{mouse}"]
+        np.testing.assert_allclose(
+            np.asarray(out[mouse][:, :num]), expected, rtol=1e-4, atol=1e-5
+        )
+        # padded rows are exactly zero
+        assert np.all(np.asarray(out[mouse][:, num:]) == 0.0)
+
+
+def test_single_mouse_forward_matches_torch(golden, model, variables):
+    out = model.apply(variables, golden["input"], mouse_index=1, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), golden["eval_mouse1"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_train_forward_and_bn_stat_updates_match_torch(golden, model, variables):
+    out, mutated = model.apply(
+        variables, golden["input"], train=True, mutable=["batch_stats"]
+    )
+    for mouse, num in enumerate(READOUT_OUTPUTS):
+        expected = golden[f"train_out:{mouse}"]
+        np.testing.assert_allclose(
+            np.asarray(out[mouse][:, :num]), expected, rtol=1e-4, atol=1e-5
+        )
+
+    _, expected_stats = convert_torch_state_dict(
+        torch_state_dict(golden, "sd1"),
+        readout_outputs=list(READOUT_OUTPUTS),
+        num_core_blocks=2,
+        num_cortex_layers=2,
+        groups=2,
+        padded_group_size=model.padded_group_size,
+    )
+    flat_got = jax.tree_util.tree_flatten_with_path(mutated["batch_stats"])[0]
+    flat_exp = dict(jax.tree_util.tree_flatten_with_path(expected_stats)[0])
+    assert flat_got and len(flat_got) == len(flat_exp)
+    for path, value in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(value), flat_exp[path], rtol=1e-4, atol=1e-5, err_msg=str(path)
+        )
