@@ -1,0 +1,160 @@
+"""Training callbacks.
+
+Argus-equivalent callback surface (the reference's fit loop wires
+``LoggingToFile``, ``LoggingToCSV`` and ``Checkpoint``/``EmaCheckpoint``
+— scripts/train.py:114-134).  LR scheduling callbacks are intentionally
+absent: the LR plan is an optax schedule baked into the jitted optimizer
+(see ``sensorium_tpu.engine.schedule``), not host-side mutation.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass
+class EngineState:
+    """What callbacks observe at epoch boundaries."""
+
+    model: Any
+    stage: str = "train"
+    epoch: int = 0
+    global_epoch: int = 0
+    metrics: dict[str, float] = field(default_factory=dict)
+    logger: logging.Logger = field(default_factory=lambda: logging.getLogger("sensorium"))
+    stopped: bool = False
+
+
+class Callback:
+    def epoch_start(self, state: EngineState) -> None:  # pragma: no cover - hook
+        pass
+
+    def epoch_complete(self, state: EngineState) -> None:  # pragma: no cover - hook
+        pass
+
+
+def build_logger(log_path: Path | None = None, append: bool = True) -> logging.Logger:
+    logger = logging.getLogger("sensorium")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    formatter = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    stream = logging.StreamHandler(sys.stdout)
+    stream.setFormatter(formatter)
+    logger.addHandler(stream)
+    if log_path is not None:
+        handler = logging.FileHandler(log_path, mode="a" if append else "w")
+        handler.setFormatter(formatter)
+        logger.addHandler(handler)
+    return logger
+
+
+class LoggingToFile(Callback):
+    """Mirror epoch metrics into ``log.txt`` (argus LoggingToFile parity)."""
+
+    def __init__(self, file_path, append: bool = True):
+        self.file_path = Path(file_path)
+        self.append = append
+
+    def epoch_start(self, state: EngineState) -> None:
+        self.file_path.parent.mkdir(parents=True, exist_ok=True)
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and Path(getattr(h, "baseFilename", "")) == self.file_path.resolve()
+            for h in state.logger.handlers
+        ):
+            handler = logging.FileHandler(self.file_path, mode="a" if self.append else "w")
+            handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+            state.logger.addHandler(handler)
+
+
+class LoggingToCSV(Callback):
+    """Append one metrics row per epoch to ``log.csv``."""
+
+    def __init__(self, file_path, append: bool = True):
+        self.file_path = Path(file_path)
+        self.append = append
+        self._initialized = False
+
+    def epoch_complete(self, state: EngineState) -> None:
+        self.file_path.parent.mkdir(parents=True, exist_ok=True)
+        row = {"epoch": state.global_epoch, "stage": state.stage, **state.metrics}
+        write_header = not self._initialized and (
+            not self.append or not self.file_path.exists()
+        )
+        mode = "a" if (self.append or self._initialized) else "w"
+        with open(self.file_path, mode, newline="") as handle:
+            writer = csv.DictWriter(handle, fieldnames=list(row.keys()))
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
+        self._initialized = True
+
+
+class Checkpoint(Callback):
+    """Best-k checkpointing with the reference's filename/score contract.
+
+    Saves the model's EMA weights (EmaCheckpoint semantics, ema.py:61-73)
+    as ``model-{epoch:03d}-{<monitor>:.6f}.ckpt`` and keeps only the
+    ``max_saves`` best by the monitored metric.
+    """
+
+    def __init__(
+        self,
+        save_dir,
+        file_format: str = "model-{epoch:03d}-{val_corr:.6f}.ckpt",
+        max_saves: int = 1,
+        monitor: str = "val_corr",
+        better: str = "max",
+        save_train_state: bool = True,
+    ):
+        self.save_dir = Path(save_dir)
+        self.file_format = file_format
+        self.max_saves = max_saves
+        self.monitor = monitor
+        self.better = better
+        self.save_train_state = save_train_state
+        self._saved: list[tuple[float, Path]] = []
+
+    def epoch_complete(self, state: EngineState) -> None:
+        if self.monitor not in state.metrics:
+            return
+        score = float(state.metrics[self.monitor])
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        fields = {"epoch": state.global_epoch, self.monitor: score, **state.metrics}
+        file_path = self.save_dir / self.file_format.format(**fields)
+        state.model.save(file_path)
+        state.logger.info(f"Model saved to '{file_path}'")
+        if self.save_train_state:
+            state.model.save_train_state(
+                self.save_dir / "train_state.ckpt",
+                extra={"epoch": state.global_epoch, self.monitor: score},
+            )
+
+        self._saved.append((score, file_path))
+        reverse = self.better == "max"
+        self._saved.sort(key=lambda item: item[0], reverse=reverse)
+        while len(self._saved) > self.max_saves:
+            _, worst_path = self._saved.pop()
+            worst_path.unlink(missing_ok=True)
+            state.logger.info(f"Model removed '{worst_path}'")
+
+
+class Timer(Callback):
+    """Per-epoch wall-clock + throughput logging (profiling aid the
+
+    reference lacks — SURVEY.md §5 tracing row)."""
+
+    def __init__(self):
+        self._start = 0.0
+
+    def epoch_start(self, state: EngineState) -> None:
+        self._start = time.perf_counter()
+
+    def epoch_complete(self, state: EngineState) -> None:
+        state.metrics["epoch_time"] = round(time.perf_counter() - self._start, 3)

@@ -1,0 +1,106 @@
+"""Training losses.
+
+Capability parity with ``/root/reference/src/losses.py`` (``MicePoissonLoss``)
+and the distillation target injection of
+``/root/reference/src/argus_models.py:31-41``, reformulated for the compact
+padded batch layout used on TPU:
+
+* predictions come as one zero-padded ``(M, B, N_max, T)`` array (all-mice
+  forward), targets as the sample's own-mouse ``(B, N_max, T)`` array and a
+  ``(B, M)`` weight matrix (one-hot for real samples);
+* the reference's Python-side masking / in-place distillation writes become
+  ``jnp.where`` selects, so the whole loss is one fused XLA reduction;
+* padded neuron rows carry prediction == target == 0 and therefore
+  contribute exactly 0 to the Poisson sum, so no explicit neuron mask is
+  needed (softplus output is sliced/padded with true zeros by the model).
+
+Semantics check against torch ``nn.PoissonNLLLoss(log_input=False,
+full=False, eps=1e-8, reduction="none")``: elementwise loss is
+``pred - target * log(pred + eps)``; the reference normalizes the mouse
+weight matrix to sum 1, multiplies each sample's elementwise-summed loss by
+its weight, and sums.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def poisson_nll(prediction: jax.Array, target: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Elementwise Poisson negative log-likelihood, ``log_input=False``."""
+    return prediction - target * jnp.log(prediction + eps)
+
+
+def mice_poisson_loss(
+    prediction: jax.Array,  # (M, B, N_max, T) float32, zero-padded rows
+    target: jax.Array,  # (B, N_max, T) float32 — the sample's own mouse
+    weights: jax.Array,  # (B, M) float32, nonzero only at the own mouse
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Weighted multi-mouse Poisson NLL (reference: losses.py:5-21).
+
+    Each (batch, mouse) cell's elementwise loss sum is scaled by the
+    normalized weight; zero-weight cells contribute nothing (their gradient
+    is exactly zero because the weight multiplies the loss).
+    """
+    weights = weights / jnp.sum(weights)
+    elem = poisson_nll(prediction, target[None], eps)  # (M, B, N, T)
+    per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
+    return jnp.sum(per_cell * weights.T)
+
+
+def mice_poisson_distill_loss(
+    prediction: jax.Array,  # (M, B, N_max, T) float32
+    target: jax.Array,  # (B, N_max, T) float32
+    weights: jax.Array,  # (B, M) float32
+    teacher_prediction: jax.Array,  # (M, B, N_max, T) float32, no gradient
+    distill_ratio: float,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Poisson NLL with teacher predictions filling zero-weight cells.
+
+    Mirrors ``add_distill_predictions`` (argus_models.py:31-41): every
+    (batch, mouse) cell with weight 0 gets the teacher's prediction as its
+    target and weight ``ratio / (1 - ratio) * sum(weights) / #distilled``,
+    after which the loss normalizes the weight matrix to sum 1 — so the
+    distilled cells carry exactly ``distill_ratio`` of the total loss mass.
+    """
+    active = weights != 0.0  # (B, M)
+    num_distilled = jnp.sum(~active)
+    distill_weight = (
+        distill_ratio / (1.0 - distill_ratio) * jnp.sum(weights) / num_distilled
+    )
+    full_weights = jnp.where(active, weights, distill_weight)  # (B, M)
+    full_weights = full_weights / jnp.sum(full_weights)
+
+    active_mb = active.T[:, :, None, None]  # (M, B, 1, 1)
+    full_target = jnp.where(active_mb, target[None], teacher_prediction)
+
+    elem = poisson_nll(prediction, full_target, eps)
+    per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
+    return jnp.sum(per_cell * full_weights.T)
+
+
+_LOSSES = {
+    "mice_poisson": mice_poisson_loss,
+}
+
+
+def get_loss(name: str, loss_params: dict):
+    """Registry keyed by the config names of the reference (losses.py:5)."""
+    if name not in _LOSSES:
+        raise KeyError(f"Unknown loss '{name}'")
+    base = _LOSSES[name]
+    eps = float(loss_params.get("eps", 1e-8))
+    if loss_params.get("log_input", False):
+        raise NotImplementedError("log_input=True is not used by any reference config")
+    if loss_params.get("full", False):
+        raise NotImplementedError("full=True is not used by any reference config")
+
+    def loss_fn(prediction, target, weights):
+        return base(prediction, target, weights, eps=eps)
+
+    loss_fn.eps = eps  # type: ignore[attr-defined]
+    loss_fn.name = name  # type: ignore[attr-defined]
+    return loss_fn

@@ -1,0 +1,301 @@
+"""The training engine: an argus-equivalent ``MouseModel``.
+
+The reference delegates its fit/val loop to ``pytorch-argus`` and extends
+it in ``src/argus_models.py``; this module provides the same capability
+surface — registry-driven construction from the config's ``argus_params``
+dict, ``fit``/``val``/``predict``, EMA, distillation, checkpointing — as a
+thin host-side driver around jitted pure functions:
+
+* one XLA executable per role (train step, val step, predict) built in
+  ``sensorium_tpu.engine.steps``;
+* the host loop only streams batches (prefetched, batch-sharded over the
+  mesh) and runs callbacks/metrics at epoch boundaries;
+* LR scheduling is an optax schedule over the global iteration counter,
+  constructed once from the config's stage plan (warmup + cosine).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sensorium_tpu.engine import checkpoint as ckpt
+from sensorium_tpu.engine.callbacks import Callback, EngineState, build_logger
+from sensorium_tpu.engine.losses import get_loss
+from sensorium_tpu.engine.metrics import CorrelationMetric
+from sensorium_tpu.engine.optimizers import get_optimizer
+from sensorium_tpu.engine.state import TrainState
+from sensorium_tpu.engine.steps import make_predict_step, make_train_step, make_val_step
+from sensorium_tpu.models.registry import get_nn_module
+from sensorium_tpu.parallel import mesh as mesh_lib
+
+
+class MouseModel:
+    """Registry-built model + training state + jitted step functions.
+
+    ``params`` is the argus-style dict from the experiment config
+    (reference: configs/true_batch_001.py:20-62): ``nn_module``, ``loss``,
+    ``optimizer``, ``frame_stack``, ``inputs_processor``,
+    ``responses_processor``, ``iter_size``, ``amp``.
+    """
+
+    def __init__(self, params: dict, mesh=None):
+        self.params = params
+        nn_name, nn_params = params["nn_module"]
+        self.nn_module = get_nn_module(nn_name, nn_params)
+        loss_name, loss_params = params.get("loss", ("mice_poisson", {}))
+        self.loss_fn = get_loss(loss_name, loss_params)
+        self.optimizer_spec = params.get("optimizer", ("AdamW", {"lr": 1e-3}))
+        self.iter_size = int(params.get("iter_size", 1))
+        self.mesh = mesh
+
+        self.ema_decay: float = 0.0
+        self.distill_ratio: float = 0.0
+        self.teacher_module = None
+        self.teacher_vars = None
+
+        self.state: TrainState | None = None
+        self.tx: optax.GradientTransformation | None = None
+        self.schedule = None
+        self._train_step = None
+        self._val_step = None
+        self._predict_steps: dict[Any, Any] = {}
+        self.logger = build_logger()
+
+    # ---------------------------------------------------------------- setup
+
+    def example_input(self, batch_size: int = 1) -> np.ndarray:
+        frame_stack = self.params.get("frame_stack", {"size": 16})
+        size = self.params.get("inputs_processor", ("stack_inputs", {}))[1].get(
+            "size", (64, 64)
+        )
+        in_channels = self.params["nn_module"][1].get("in_channels", 5)
+        return np.zeros(
+            (batch_size, in_channels, frame_stack["size"], size[0], size[1]), np.float32
+        )
+
+    def set_ema(self, decay: float) -> None:
+        self.ema_decay = float(decay)
+
+    def set_distill(self, teacher_module, teacher_vars: dict, ratio: float) -> None:
+        """Attach a frozen teacher whose predictions fill unlabeled cells."""
+        self.teacher_module = teacher_module
+        self.teacher_vars = mesh_lib.replicate_tree(self.mesh, teacher_vars)
+        self.distill_ratio = float(ratio)
+        self._train_step = None
+
+    def build_state(self, seed: int = 0, learning_rate=None) -> TrainState:
+        """Initialize parameters, optimizer and (optional) EMA trees."""
+        init_rng, train_rng = jax.random.split(jax.random.PRNGKey(seed))
+        variables = self.nn_module.init(
+            {"params": init_rng, "dropout": init_rng}, self.example_input(), train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        opt_name, opt_params = self.optimizer_spec
+        self.schedule = learning_rate if callable(learning_rate) else None
+        self.tx = get_optimizer(opt_name, opt_params, learning_rate=learning_rate)
+        opt_state = self.tx.init(params)
+
+        use_ema = self.ema_decay > 0.0
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
+            ema_batch_stats=(
+                jax.tree_util.tree_map(jnp.copy, batch_stats) if use_ema else None
+            ),
+            rng=train_rng,
+        )
+        if self.mesh is not None:
+            self.state = mesh_lib.replicate_tree(self.mesh, self.state)
+        self._train_step = None
+        self._val_step = None
+        return self.state
+
+    # ---------------------------------------------------------------- steps
+
+    def _ensure_train_step(self):
+        if self._train_step is None:
+            if self.tx is None:
+                raise RuntimeError("Call build_state() before training")
+            self._train_step = make_train_step(
+                self.nn_module,
+                self.tx,
+                self.loss_fn,
+                ema_decay=self.ema_decay,
+                iter_size=self.iter_size,
+                distill_ratio=self.distill_ratio,
+                teacher_model=self.teacher_module,
+            )
+        return self._train_step
+
+    def _ensure_val_step(self):
+        if self._val_step is None:
+            self._val_step = make_val_step(self.nn_module, self.loss_fn)
+        return self._val_step
+
+    def train_step(self, batch) -> float:
+        step = self._ensure_train_step()
+        inputs, targets, weights = mesh_lib.shard_batch(
+            self.mesh, batch.inputs, batch.targets, batch.weights
+        )
+        if self.distill_ratio > 0.0:
+            self.state, loss = step(self.state, inputs, targets, weights, self.teacher_vars)
+        else:
+            self.state, loss = step(self.state, inputs, targets, weights)
+        return loss
+
+    def val_step(self, batch):
+        step = self._ensure_val_step()
+        inputs, targets, weights = mesh_lib.shard_batch(
+            self.mesh, batch.inputs, batch.targets, batch.weights
+        )
+        loss, prediction = step(
+            self.state.eval_params, self.state.eval_batch_stats, inputs, targets, weights
+        )
+        return loss, prediction
+
+    def predict(self, inputs, mouse_index: int | None = None):
+        """Inference forward on the eval (EMA) weights."""
+        if mouse_index not in self._predict_steps:
+            self._predict_steps[mouse_index] = make_predict_step(
+                self.nn_module, mouse_index
+            )
+        inputs = np.asarray(inputs, np.float32)
+        squeeze = inputs.ndim == 4
+        if squeeze:
+            inputs = inputs[None]
+        prediction = self._predict_steps[mouse_index](
+            self.state.eval_params, self.state.eval_batch_stats, inputs
+        )
+        return prediction[0] if squeeze else prediction
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        num_epochs: int = 1,
+        callbacks: Sequence[Callback] = (),
+        metrics: Sequence[CorrelationMetric] = (),
+        stage: str = "train",
+        start_epoch: int = 0,
+    ) -> None:
+        if self.state is None:
+            raise RuntimeError("Call build_state() before fit()")
+        engine_state = EngineState(model=self, stage=stage, logger=self.logger)
+
+        for epoch in range(num_epochs):
+            engine_state.epoch = epoch
+            engine_state.global_epoch = start_epoch + epoch
+            engine_state.metrics = {}
+            for callback in callbacks:
+                callback.epoch_start(engine_state)
+
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(engine_state.global_epoch)
+            losses = []
+            for batch in train_loader:
+                losses.append(self.train_step(batch))
+            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            engine_state.metrics["train_loss"] = train_loss
+
+            if val_loader is not None:
+                for metric in metrics:
+                    metric.reset()
+                val_losses = []
+                for batch in val_loader:
+                    loss, prediction = self.val_step(batch)
+                    val_losses.append(loss)
+                    for metric in metrics:
+                        metric.update(
+                            jax.device_get(prediction), batch.targets, batch.weights
+                        )
+                engine_state.metrics["val_loss"] = float(
+                    np.mean([jax.device_get(l) for l in val_losses])
+                )
+                for metric in metrics:
+                    engine_state.metrics.update(metric.epoch_metrics(prefix="val_"))
+
+            lr = self._current_lr()
+            if lr is not None:
+                engine_state.metrics["lr"] = lr
+            self.logger.info(
+                f"{stage} epoch {engine_state.global_epoch}: "
+                + ", ".join(f"{k}={v:.6g}" for k, v in engine_state.metrics.items())
+            )
+            for callback in callbacks:
+                callback.epoch_complete(engine_state)
+            if engine_state.stopped:
+                break
+
+    def _current_lr(self):
+        """Best-effort readback of the scheduled LR for logging."""
+        if self.schedule is None:
+            return None
+        count = int(jax.device_get(self.state.step))
+        return float(self.schedule(count))
+
+    # ----------------------------------------------------------- checkpoint
+
+    def eval_variables(self) -> dict:
+        return {
+            "params": jax.device_get(self.state.eval_params),
+            "batch_stats": jax.device_get(self.state.eval_batch_stats),
+        }
+
+    def save(self, file_path) -> None:
+        """Write an inference checkpoint of the EMA weights."""
+        ckpt.save_model_checkpoint(file_path, self.params, self.eval_variables())
+
+    def save_train_state(self, file_path, extra: dict | None = None) -> None:
+        ckpt.save_train_state(file_path, self.state, self.params, extra=extra)
+
+    def load_train_state(self, file_path) -> dict:
+        if self.state is None:
+            raise RuntimeError("Call build_state() before load_train_state()")
+        self.state, extra = ckpt.load_train_state(file_path, self.state)
+        return extra
+
+
+def load_model(file_path, mesh=None) -> MouseModel:
+    """Rebuild a ``MouseModel`` from an inference checkpoint.
+
+    Equivalent of ``argus.load_model`` (used at predictors.py:25 and for
+    distillation teachers at train.py:62): the checkpoint's config dict
+    reconstructs the module, and the saved EMA weights land in both the
+    live and EMA slots so ``predict`` uses them directly.
+    """
+    payload = ckpt.load_model_checkpoint(file_path)
+    model = MouseModel(payload["params"], mesh=mesh)
+    nn_state = payload["nn_state"]
+    model.state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=nn_state["params"],
+        batch_stats=nn_state.get("batch_stats", {}),
+        opt_state=None,
+        ema_params=None,
+        ema_batch_stats=None,
+        rng=jax.random.PRNGKey(0),
+    )
+    if mesh is not None:
+        model.state = mesh_lib.replicate_tree(mesh, model.state)
+    return model
+
+
+def stage_iterations(config: dict, train_dataset_len: int) -> dict[str, int]:
+    """Per-stage iteration counts from the config's stage plan."""
+    iters_per_epoch = train_dataset_len // config["batch_size"]
+    return {
+        stage: iters_per_epoch * epochs
+        for stage, epochs in zip(config["stages"], config["num_epochs"])
+    }

@@ -16,4 +16,8 @@ def get_nn_module(name: str, module_params: dict):
     for key in ("readout_outputs", "core_features", "spatial_strides", "cortex_features"):
         if key in params:
             params[key] = tuple(params[key])
+    if isinstance(params.get("dtype"), str):
+        import jax.numpy as jnp
+
+        params["dtype"] = jnp.dtype(params["dtype"])
     return _NN_MODULES[name](**params)

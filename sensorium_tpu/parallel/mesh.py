@@ -1,0 +1,93 @@
+"""Device-mesh and sharding helpers.
+
+The reference is single-GPU (``device: "cuda:0"`` — SURVEY.md §2.11); the
+TPU framework scales through a ``jax.sharding.Mesh`` instead:
+
+* ``data`` axis — batch-sharded data parallelism (default over a v5e-8
+  slice).  Parameters are replicated; GSPMD turns every global-batch
+  reduction (BN moments, loss, gradients) into ICI collectives, so
+  "true batch" BN semantics (global batch 32) survive sharding;
+* ``model`` axis — optional tensor parallelism: the cortex channel dims
+  and the stacked per-mouse readout ``(M, G, C/G, P)`` shard over it.
+
+The helpers below are layout policy in one place, so the engine and the
+benchmarks do not hand-roll shardings.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def create_mesh(
+    num_data: int | None = None, num_model: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    devices = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(devices, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over the ``data`` mesh axis."""
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch(mesh: Mesh | None, *arrays):
+    """Device-put arrays batch-sharded (replicated scalars pass through)."""
+    if mesh is None:
+        return jax.device_put(arrays)
+    sharding = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def replicate_tree(mesh: Mesh | None, tree):
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, replicated(mesh))
+
+
+def param_sharding_rules(mesh: Mesh):
+    """PartitionSpec rules for tensor-parallel parameter layout.
+
+    Shards the dominant parameter mass — the stacked readout kernel
+    ``(M, G, C/G, P)`` on its padded-output axis and the cortex grouped-conv
+    kernels ``(G, Cin/G, Cout/G)`` on their output axis — over ``model``.
+    Everything else is replicated.  Used by ``shard_params``.
+    """
+
+    def spec_for(path: tuple[str, ...], value) -> PartitionSpec:
+        name = "/".join(path)
+        if "readout_kernel" in name:
+            return PartitionSpec(None, None, None, "model")
+        if "readout_bias" in name:
+            return PartitionSpec(None, None, "model")
+        if "cortex" in name and name.endswith("kernel") and value.ndim == 3:
+            return PartitionSpec(None, None, "model")
+        return PartitionSpec()
+
+    return spec_for
+
+
+def shard_params(mesh: Mesh | None, params, tensor_parallel: bool = False):
+    """Place a parameter tree on the mesh (replicated or TP-sharded)."""
+    if mesh is None:
+        return params
+    if not tensor_parallel or mesh.shape.get("model", 1) == 1:
+        return jax.device_put(params, replicated(mesh))
+    spec_for = param_sharding_rules(mesh)
+
+    def place(path, value):
+        path_names = tuple(getattr(p, "key", str(p)) for p in path)
+        return jax.device_put(value, NamedSharding(mesh, spec_for(path_names, value)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
