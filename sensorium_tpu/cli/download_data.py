@@ -1,0 +1,88 @@
+"""Dataset download CLI — ``python -m sensorium_tpu.cli.download_data [-p PATH]``.
+
+Capability parity with ``/root/reference/scripts/download_data.py``:
+streams each mouse's zip from the public GIN repositories and unpacks it;
+for the five "old" mice additionally back-fills the test-split responses
+from the deeplake hub (the 2023 competition released them there), making
+every old-mouse tier labeled so it can join the CV folds.
+
+The deeplake dependency is optional — if it is unavailable the old-mice
+back-fill is skipped with a warning instead of failing the whole download.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+from sensorium_tpu import constants
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-p", "--path", default=constants.sensorium_dir, type=Path)
+    return parser.parse_args()
+
+
+def download_file(url: str, dest: Path) -> None:
+    import requests
+
+    print(f"Download '{url}' to '{dest}'")
+    dest.unlink(missing_ok=True)
+    with requests.get(url, stream=True) as response:
+        response.raise_for_status()
+        with open(dest, "wb") as output:
+            shutil.copyfileobj(response.raw, output)
+
+
+def backfill_old_mouse_responses(mouse: str, mouse_dir: Path) -> None:
+    """Fetch the released test-split responses for an old mouse."""
+    try:
+        import deeplake
+    except ImportError:
+        print(f"deeplake unavailable — skipping response back-fill for {mouse}")
+        return
+    for split in constants.unlabeled_splits:
+        dataset = deeplake.load(f"hub://sinzlab/Sensorium_2023_{mouse}_{split}")
+        trial_ids = dataset.id.numpy().astype(int).ravel().tolist()
+        for index, trial_id in enumerate(trial_ids):
+            responses_path = mouse_dir / "data" / "responses" / f"{trial_id}.npy"
+            np.save(str(responses_path), dataset.responses[index].numpy())
+
+
+def download_mouse(mouse: str, sensorium_dir: Path) -> None:
+    file_name = f"{mouse}.zip"
+    dataset = constants.mouse2dataset[mouse]
+    url = constants.dataset2url_format[dataset].format(file_name=file_name)
+    zip_path = sensorium_dir / file_name
+    mouse_dir = sensorium_dir / mouse
+
+    if mouse_dir.exists():
+        print(f"Folder '{mouse_dir}' already exists, skip download")
+        return
+
+    download_file(url, zip_path)
+    print("Unzip", zip_path)
+    with zipfile.ZipFile(zip_path, "r") as zip_file:
+        zip_file.extractall(sensorium_dir)
+    zip_path.unlink()
+    shutil.rmtree(sensorium_dir / "__MACOSX", ignore_errors=True)
+
+    if mouse in constants.old_mice:
+        backfill_old_mouse_responses(mouse, mouse_dir)
+
+
+def main():
+    args = parse_arguments()
+    sensorium_dir = args.path
+    sensorium_dir.mkdir(parents=True, exist_ok=True)
+    for mouse in constants.mice:
+        download_mouse(mouse, sensorium_dir)
+
+
+if __name__ == "__main__":
+    main()

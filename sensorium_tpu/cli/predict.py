@@ -1,0 +1,82 @@
+"""Inference CLI — ``python -m sensorium_tpu.cli.predict -e EXP -s SPLIT``.
+
+Flag parity with ``/root/reference/scripts/predict.py``: ``-s folds``
+produces out-of-fold predictions (one fold model each) and the CV
+evaluation JSON; unlabeled splits average all 7 fold models per trial and
+(for the new mice) write the competition submission.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from sensorium_tpu import constants
+from sensorium_tpu.infer.predictor import Predictor, predict_mouse_split
+from sensorium_tpu.infer.submission import evaluate_folds_predictions, make_submission
+from sensorium_tpu.utils import get_best_model_path
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-e", "--experiment", required=True, type=str)
+    parser.add_argument(
+        "-s", "--split", required=True,
+        choices=["folds"] + constants.unlabeled_splits, type=str,
+    )
+    parser.add_argument("-d", "--dataset", default="new", choices=["new", "old"], type=str)
+    parser.add_argument("--chunk-size", default=32, type=int,
+                        help="sliding-window anchors per device batch")
+    return parser.parse_args()
+
+
+def _fold_model_path(experiment: str, fold_split: str):
+    model_path = get_best_model_path(constants.experiments_dir / experiment / fold_split)
+    if model_path is None:
+        raise RuntimeError(f"No checkpoint for {experiment}/{fold_split}")
+    print("Model path:", str(model_path))
+    return model_path
+
+
+def predict_folds(experiment: str, dataset: str, chunk_size: int = 32) -> None:
+    """Out-of-fold predictions: each fold's trials by that fold's model."""
+    print(f"Predict folds: {experiment=}, {dataset=}")
+    for mouse in constants.dataset2mice[dataset]:
+        mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
+        for fold_split in constants.folds_splits:
+            predictor = Predictor(
+                _fold_model_path(experiment, fold_split),
+                blend_weights="ones", chunk_size=chunk_size,
+            )
+            predict_mouse_split(mouse, fold_split, [predictor], mouse_dir)
+
+
+def predict_unlabeled_split(
+    experiment: str, split: str, dataset: str, chunk_size: int = 32
+) -> None:
+    """Average all fold models' predictions per unlabeled trial."""
+    print(f"Predict unlabeled split: {experiment=}, {split=}, {dataset=}")
+    predictors = [
+        Predictor(
+            _fold_model_path(experiment, fold_split),
+            blend_weights="ones", chunk_size=chunk_size,
+        )
+        for fold_split in constants.folds_splits
+    ]
+    for mouse in constants.dataset2mice[dataset]:
+        mouse_dir = constants.predictions_dir / experiment / split / mouse
+        predict_mouse_split(mouse, split, predictors, mouse_dir)
+
+
+def main():
+    args = parse_arguments()
+    if args.split == "folds":
+        predict_folds(args.experiment, args.dataset, args.chunk_size)
+        evaluate_folds_predictions(args.experiment, args.dataset)
+    else:
+        predict_unlabeled_split(args.experiment, args.split, args.dataset, args.chunk_size)
+        if args.dataset == "new":
+            make_submission(args.experiment, args.split)
+
+
+if __name__ == "__main__":
+    main()

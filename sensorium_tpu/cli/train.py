@@ -1,0 +1,219 @@
+"""Training CLI — ``python -m sensorium_tpu.cli.train -e EXPERIMENT [-f FOLDS]``.
+
+Flag and flow parity with ``/root/reference/scripts/train.py``: loads the
+executable-Python experiment config, snapshots it into the experiment dir,
+and trains the 7 CV folds sequentially (each holding one fold out).
+
+TPU-first differences:
+* the LR plan (linear warmup + cosine) is one optax schedule built from
+  the stage plan, instead of argus LR callbacks;
+* ``--mesh data[,model]`` shapes a device mesh for batch-DP (and optional
+  TP); default is batch-DP over all local devices;
+* ``--resume`` continues a fold from its ``train_state.ckpt`` (optimizer
+  moments + RNG + step) — a capability the reference lacks;
+* the data loader is the threaded mmap prefetcher, not worker processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+from importlib.machinery import SourceFileLoader
+from pathlib import Path
+
+import jax
+
+from sensorium_tpu import constants
+from sensorium_tpu.data.datasets import TrainMiceDataset, ValMiceDataset
+from sensorium_tpu.data.indexes import WindowIndexer
+from sensorium_tpu.data.inputs import get_inputs_processor
+from sensorium_tpu.data.loader import MiceDataLoader
+from sensorium_tpu.data.mixers import CutMix
+from sensorium_tpu.data.mouse_data import get_mouse_data
+from sensorium_tpu.data.responses import get_responses_processor
+from sensorium_tpu.engine.callbacks import Checkpoint, LoggingToCSV, LoggingToFile, Timer
+from sensorium_tpu.engine.metrics import CorrelationMetric
+from sensorium_tpu.engine.model import MouseModel, load_model
+from sensorium_tpu.engine.schedule import warmup_cosine
+from sensorium_tpu.parallel.mesh import create_mesh
+from sensorium_tpu.utils import get_best_model_path, get_lr
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-e", "--experiment", required=True, type=str)
+    parser.add_argument("-f", "--folds", default="all", type=str)
+    parser.add_argument("--mesh", default="data", type=str,
+                        help="mesh axes: 'data' (batch DP) or 'data,model' (DP+TP)")
+    parser.add_argument("--no-mesh", action="store_true",
+                        help="single-device mode (no mesh)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume each fold from its train_state.ckpt")
+    parser.add_argument("--seed", default=0, type=int)
+    return parser.parse_args()
+
+
+def build_mesh(args):
+    if args.no_mesh or len(jax.devices()) == 1:
+        return None
+    if args.mesh == "data,model":
+        num_model = 2 if len(jax.devices()) % 2 == 0 else 1
+        return create_mesh(num_model=num_model)
+    return create_mesh()
+
+
+def train_mouse(
+    config: dict,
+    save_dir: Path,
+    train_splits: list[str],
+    val_splits: list[str],
+    mesh=None,
+    seed: int = 0,
+    resume: bool = False,
+) -> MouseModel:
+    config = copy.deepcopy(config)
+    argus_params = config["argus_params"]
+
+    model = MouseModel(argus_params, mesh=mesh)
+    if config.get("ema_decay"):
+        print("EMA decay:", config["ema_decay"])
+        model.set_ema(config["ema_decay"])
+
+    if "distill" in config:
+        distill_params = config["distill"]
+        teacher_dir = (
+            constants.experiments_dir / distill_params["experiment"] / val_splits[0]
+        )
+        teacher_path = get_best_model_path(teacher_dir)
+        if teacher_path is None:
+            raise RuntimeError(f"No teacher checkpoint in '{teacher_dir}'")
+        teacher = load_model(teacher_path)
+        model.set_distill(
+            teacher.nn_module,
+            {
+                "params": teacher.state.params,
+                "batch_stats": teacher.state.batch_stats,
+            },
+            ratio=distill_params["ratio"],
+        )
+        print(f"Distillation model {teacher_path}, ratio {distill_params['ratio']}")
+
+    indexer = WindowIndexer(**argus_params["frame_stack"])
+    inputs_processor = get_inputs_processor(*argus_params["inputs_processor"])
+    responses_processor = get_responses_processor(*argus_params["responses_processor"])
+    cutmix = CutMix(**config["cutmix"]) if "cutmix" in config else None
+
+    mouse_epoch_size = config["train_epoch_size"] // constants.num_mice
+    train_mice_data = [get_mouse_data(mouse=m, splits=train_splits) for m in constants.mice]
+    val_mice_data = [get_mouse_data(mouse=m, splits=val_splits) for m in constants.mice]
+
+    train_dataset = TrainMiceDataset(
+        train_mice_data, indexer, inputs_processor, responses_processor,
+        mouse_epoch_size=mouse_epoch_size, mixer=cutmix, seed=seed,
+    )
+    val_dataset = ValMiceDataset(
+        val_mice_data, indexer, inputs_processor, responses_processor
+    )
+    print("Train dataset len:", len(train_dataset))
+    print("Val dataset len:", len(val_dataset))
+
+    num_threads = config.get("num_dataloader_workers", 8)
+    train_loader = MiceDataLoader(
+        train_dataset, batch_size=config["batch_size"], shuffle=True,
+        seed=seed, num_threads=num_threads, drop_last=True,
+    )
+    val_loader = MiceDataLoader(
+        val_dataset,
+        batch_size=config["batch_size"] // argus_params.get("iter_size", 1),
+        num_threads=num_threads,
+    )
+
+    # One optax schedule for the whole stage plan (warmup ramp + cosine).
+    iters_per_epoch = len(train_dataset) // config["batch_size"]
+    stage_epochs = dict(zip(config["stages"], config["num_epochs"]))
+    warmup_iters = iters_per_epoch * stage_epochs.get("warmup", 0)
+    train_iters = iters_per_epoch * stage_epochs.get("train", 0)
+    peak_lr = argus_params["optimizer"][1]["lr"]
+    min_lr = get_lr(config["min_base_lr"], config["batch_size"])
+    schedule = warmup_cosine(peak_lr, min_lr, warmup_iters, train_iters)
+
+    model.build_state(seed=seed, learning_rate=schedule)
+    start_epoch = 0
+    if resume and (save_dir / "train_state.ckpt").exists():
+        extra = model.load_train_state(save_dir / "train_state.ckpt")
+        start_epoch = int(extra.get("epoch", -1)) + 1
+        print(f"Resumed from epoch {start_epoch}")
+
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for num_epochs, stage in zip(config["num_epochs"], config["stages"]):
+        callbacks = [
+            LoggingToFile(save_dir / "log.txt", append=True),
+            LoggingToCSV(save_dir / "log.csv", append=True),
+            Timer(),
+        ]
+        if stage != "warmup":
+            callbacks.append(
+                Checkpoint(
+                    save_dir,
+                    file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
+                    max_saves=1,
+                )
+            )
+        stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
+        skip = max(0, start_epoch - stage_start)
+        if skip >= num_epochs:
+            print(f"Stage '{stage}' already completed, skipping")
+            continue
+        model.fit(
+            train_loader,
+            val_loader=val_loader,
+            num_epochs=num_epochs - skip,
+            callbacks=callbacks,
+            metrics=[
+                CorrelationMetric(
+                    num_neurons=list(argus_params["nn_module"][1]["readout_outputs"])
+                )
+            ],
+            stage=stage,
+            start_epoch=stage_start + skip,
+        )
+    return model
+
+
+def main():
+    args = parse_arguments()
+    print("Experiment:", args.experiment)
+
+    config_path = constants.configs_dir / f"{args.experiment}.py"
+    if not config_path.exists():
+        raise RuntimeError(f"Config '{config_path}' does not exist")
+    config = SourceFileLoader(args.experiment, str(config_path)).load_module().config
+
+    experiment_dir = constants.experiments_dir / args.experiment
+    experiment_dir.mkdir(parents=True, exist_ok=True)
+    with open(experiment_dir / "config.json", "w") as outfile:
+        json.dump(config, outfile, indent=4, default=str)
+
+    mesh = build_mesh(args)
+    if mesh is not None:
+        print("Mesh:", dict(mesh.shape))
+
+    if args.folds == "all":
+        folds_splits = constants.folds_splits
+    else:
+        folds_splits = [f"fold_{fold}" for fold in args.folds.split(",")]
+
+    for fold_split in folds_splits:
+        fold_dir = experiment_dir / fold_split
+        val_splits = [fold_split]
+        train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+        print(f"Val fold: {val_splits}, train folds: {train_splits}")
+        train_mouse(
+            config, fold_dir, train_splits, val_splits,
+            mesh=mesh, seed=args.seed, resume=args.resume,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,8 @@ class TrainMiceDataset:
         self.stores = [
             MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
         ]
+        self.num_mice = len(self.stores)
+        self.max_neurons = max(s.num_neurons for s in self.stores)
         self.mouse_epoch_size = mouse_epoch_size
         self.mixer = mixer
         self.seed = seed
@@ -153,6 +155,8 @@ class ValMiceDataset:
         self.stores = [
             MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
         ]
+        self.num_mice = len(self.stores)
+        self.max_neurons = max(s.num_neurons for s in self.stores)
         # Flat index -> (mouse, trial, window_position)
         self._samples: list[tuple[int, int, int]] = []
         width = indexer.width
@@ -173,14 +177,25 @@ class ValMiceDataset:
         return mouse_index, inputs, target
 
 
-def collate_mice_batch(samples: list[tuple[int, np.ndarray, np.ndarray]]) -> MiceBatch:
-    """Collate (mouse_index, input, target) triples into a padded MiceBatch."""
+def collate_mice_batch(
+    samples: list[tuple[int, np.ndarray, np.ndarray]],
+    num_mice: int | None = None,
+    max_neurons: int | None = None,
+) -> MiceBatch:
+    """Collate (mouse_index, input, target) triples into a padded MiceBatch.
+
+    Padding sizes default to the competition constants but are derived from
+    the dataset by the loader, so synthetic/small datasets collate to their
+    own (model-matching) padded width.
+    """
+    num_mice = constants.num_mice if num_mice is None else num_mice
+    max_neurons = constants.max_num_neurons if max_neurons is None else max_neurons
     batch = len(samples)
     first_input = samples[0][1]
     inputs = np.empty((batch,) + first_input.shape, dtype=np.float32)
     time_shape = samples[0][2].shape[1:]  # () or (T,)
-    targets = np.zeros((batch, constants.max_num_neurons) + time_shape, dtype=np.float32)
-    weights = np.zeros((batch, constants.num_mice), dtype=np.float32)
+    targets = np.zeros((batch, max_neurons) + time_shape, dtype=np.float32)
+    weights = np.zeros((batch, num_mice), dtype=np.float32)
     for row, (mouse_index, sample_input, sample_target) in enumerate(samples):
         inputs[row] = sample_input
         targets[row, : sample_target.shape[0]] = sample_target

@@ -70,7 +70,13 @@ class MiceDataLoader:
                         samples = list(
                             pool.map(lambda i: self.dataset.get(int(i), epoch), batch_indexes)
                         )
-                        out_queue.put(collate_mice_batch(samples))
+                        out_queue.put(
+                            collate_mice_batch(
+                                samples,
+                                num_mice=getattr(self.dataset, "num_mice", None),
+                                max_neurons=getattr(self.dataset, "max_neurons", None),
+                            )
+                        )
                 out_queue.put(None)
             except BaseException as exc:  # surface worker errors to the consumer
                 out_queue.put(exc)

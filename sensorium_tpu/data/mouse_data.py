@@ -49,7 +49,9 @@ def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
     those are folded.  For "old" mice the test-split responses were
     back-filled by the downloader, so every non-'none' tier is folded.
     """
-    tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy")).copy()
+    # Widen the string dtype: assigning "fold_{k}" into a narrow (<U5)
+    # array would silently truncate the fold names.
+    tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy")).astype("U32")
     phashes = compute_video_phashes(mouse)
     if mouse in constants.new_mice:
         labeled = (tiers == "train") | (tiers == "oracle")

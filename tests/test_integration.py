@@ -1,0 +1,222 @@
+"""End-to-end pipeline tests on a synthetic on-disk dataset: fold catalog,
+training CLI flow, checkpointing, sliding-window prediction, out-of-fold
+evaluation, submission writing and cross-experiment ensembling."""
+
+import numpy as np
+import pytest
+
+from sensorium_tpu import constants
+from sensorium_tpu.data import mouse_data as mouse_data_mod
+from sensorium_tpu.infer.ensemble import ensemble_experiments
+from sensorium_tpu.infer.predictor import Predictor, predict_mouse_split
+from sensorium_tpu.infer.submission import (
+    cut_responses_for_submission,
+    evaluate_folds_predictions,
+    make_submission,
+)
+from sensorium_tpu.utils import get_best_model_path
+
+from tests.synthetic import (
+    SYNTH_NUM_NEURONS,
+    SYNTH_TRIAL_LENGTH,
+    build_synthetic_dataset,
+    tiny_experiment_config,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    """Synthetic dataset + redirected constants paths, shared per module."""
+    root = tmp_path_factory.mktemp("synth")
+    data_root = root / "sensorium_all_2023"
+    build_synthetic_dataset(data_root)
+
+    originals = {
+        "sensorium_dir": constants.sensorium_dir,
+        "experiments_dir": constants.experiments_dir,
+        "predictions_dir": constants.predictions_dir,
+    }
+    constants.sensorium_dir = data_root
+    constants.experiments_dir = root / "experiments"
+    constants.predictions_dir = root / "predictions"
+
+    # Deterministic fold assignment: phash := trial_id -> fold trial_id % 7.
+    original_phashes = mouse_data_mod.compute_video_phashes
+    mouse_data_mod.compute_video_phashes = lambda mouse: np.arange(9, dtype=np.uint64)
+    mouse_data_mod.get_folds_tiers.cache_clear()
+
+    yield root
+
+    for name, value in originals.items():
+        setattr(constants, name, value)
+    mouse_data_mod.compute_video_phashes = original_phashes
+    mouse_data_mod.get_folds_tiers.cache_clear()
+
+
+class TestFoldCatalog:
+    def test_fold_assignment_and_catalog(self, synth_env):
+        tiers = mouse_data_mod.get_folds_tiers(constants.new_mice[0], constants.num_folds)
+        assert list(tiers[:7]) == [f"fold_{i}" for i in range(7)]
+        assert list(tiers[7:]) == ["live_test_main", "final_test_main"]
+
+        data = mouse_data_mod.get_mouse_data(constants.new_mice[0], ["fold_0", "fold_1"])
+        assert data["num_neurons"] == SYNTH_NUM_NEURONS[0]
+        assert len(data["trials"]) == 2
+        assert data["trials"][0]["length"] == SYNTH_TRIAL_LENGTH
+        assert "response_path" in data["trials"][0]
+
+        unlabeled = mouse_data_mod.get_mouse_data(constants.new_mice[0], ["live_test_main"])
+        assert len(unlabeled["trials"]) == 1
+        assert "response_path" not in unlabeled["trials"][0]
+
+
+@pytest.fixture(scope="module")
+def trained_fold(synth_env):
+    """Train one fold of the tiny experiment via the CLI's train_mouse."""
+    from sensorium_tpu.cli.train import train_mouse
+
+    config = tiny_experiment_config()
+    save_dir = constants.experiments_dir / "tiny_exp" / "fold_0"
+    val_splits = ["fold_0"]
+    train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+    model = train_mouse(config, save_dir, train_splits, val_splits, mesh=None, seed=0)
+    return save_dir, model, config
+
+
+class TestTrainCLI:
+    def test_checkpoints_and_logs_written(self, trained_fold):
+        save_dir, _, _ = trained_fold
+        assert get_best_model_path(save_dir) is not None
+        assert (save_dir / "train_state.ckpt").exists()
+        assert (save_dir / "log.txt").exists()
+        assert (save_dir / "log.csv").exists()
+
+    def test_resume_skips_completed_stages(self, trained_fold, capsys):
+        from sensorium_tpu.cli.train import train_mouse
+
+        save_dir, _, config = trained_fold
+        val_splits = ["fold_0"]
+        train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+        train_mouse(
+            config, save_dir, train_splits, val_splits, mesh=None, seed=0, resume=True
+        )
+        out = capsys.readouterr().out
+        assert "Resumed from epoch" in out
+
+
+class TestPredictionPipeline:
+    def test_sliding_window_blend_matches_sequential(self, trained_fold):
+        """The batched device predictor must reproduce the reference's
+        sequential stride-1 window blending exactly."""
+        save_dir, _, _ = trained_fold
+        predictor = Predictor(get_best_model_path(save_dir), chunk_size=16)
+
+        mouse = constants.new_mice[0]
+        data = mouse_data_mod.get_mouse_data(mouse, ["fold_0"])
+        trial = data["trials"][0]
+        length = trial["length"]
+        video = np.load(trial["video_path"])[..., :length]
+        behavior = np.load(trial["behavior_path"])[..., :length]
+        pupil = np.load(trial["pupil_center_path"])[..., :length]
+
+        fast = predictor.predict_trial(video, behavior, pupil, mouse_index=0)
+
+        # Reference-style sequential accumulation (predictors.py:46-54).
+        gen = predictor.indexes_generator
+        inputs = predictor.inputs_processor(video, behavior, pupil)
+        responses = np.zeros((SYNTH_NUM_NEURONS[0], length), np.float32)
+        blend = np.zeros(length, np.float32)
+        for anchor in range(gen.behind, length - gen.ahead):
+            idx = gen.window(anchor)
+            pred = predictor.model.predict(inputs[:, idx], mouse_index=0)
+            responses[:, idx] += np.asarray(pred)
+            blend[idx] += 1.0
+        responses /= np.clip(blend, 1.0, None)
+
+        np.testing.assert_allclose(fast, responses, rtol=1e-4, atol=1e-4)
+
+    def test_folds_evaluate_submission_ensemble(self, trained_fold):
+        save_dir, _, _ = trained_fold
+        experiment = "tiny_exp"
+        predictor = Predictor(get_best_model_path(save_dir), chunk_size=16)
+
+        # Out-of-fold predictions for every mouse's fold_0 trials.
+        for mouse in constants.mice:
+            mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
+            predict_mouse_split(mouse, "fold_0", [predictor], mouse_dir)
+            files = list(mouse_dir.glob("*.npy"))
+            assert len(files) == 1  # one fold_0 trial per mouse
+            pred = np.load(files[0])
+            n = SYNTH_NUM_NEURONS[constants.mouse2index[mouse]]
+            assert pred.shape == (n, SYNTH_TRIAL_LENGTH)
+            assert np.all(pred >= 0)  # softplus output
+
+        # evaluate_folds_predictions only reads trials that have prediction
+        # files; restrict the catalog to fold_0 by monkeypatching splits.
+        folds_backup = constants.folds_splits
+        constants.folds_splits = ["fold_0"]
+        try:
+            result = evaluate_folds_predictions(experiment, "new")
+        finally:
+            constants.folds_splits = folds_backup
+        assert set(result["correlations"]) == set(constants.new_mice)
+        assert np.isfinite(result["mean_correlation"])
+        assert (
+            constants.predictions_dir / experiment / "out-of-fold" / "evaluate_new.json"
+        ).exists()
+
+        # Unlabeled split -> submission parquet with the renamed split.
+        for mouse in constants.new_mice:
+            mouse_dir = constants.predictions_dir / experiment / "live_test_main" / mouse
+            predict_mouse_split(mouse, "live_test_main", [predictor], mouse_dir)
+        make_submission(experiment, "live_test_main")
+        submission_path = (
+            constants.predictions_dir
+            / experiment
+            / "live_test_main"
+            / "predictions_live_main.parquet.brotli"
+        )
+        assert submission_path.exists()
+
+        import pandas as pd
+
+        df = pd.read_parquet(submission_path)
+        assert list(df.columns) == ["mouse", "trial_indices", "prediction", "neuron_ids"]
+        assert len(df) == len(constants.new_mice)
+        first = df.iloc[0]
+        # Cut: min(300, 40) - 50 first... shorter than skip -> empty check:
+        # synthetic trials are 40 frames; the cut keeps [50, 299) so the
+        # submission rows carry empty response lists — still valid schema.
+        assert isinstance(first["prediction"], (list, np.ndarray))
+
+        # Ensemble of the experiment with itself must equal the original.
+        second = "tiny_exp2"
+        for mouse in constants.mice:
+            src = constants.predictions_dir / experiment / "out-of-fold" / mouse
+            dst = constants.predictions_dir / second / "out-of-fold" / mouse
+            dst.mkdir(parents=True, exist_ok=True)
+            for f in src.glob("*.npy"):
+                np.save(dst / f.name, np.load(f))
+        folds_backup = constants.folds_splits
+        constants.folds_splits = ["fold_0"]
+        try:
+            name = ensemble_experiments([experiment, second], "folds", "new")
+        finally:
+            constants.folds_splits = folds_backup
+        assert name == f"{experiment},{second}"
+        for mouse in constants.new_mice:
+            ens_dir = constants.predictions_dir / name / "out-of-fold" / mouse
+            orig_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
+            for f in orig_dir.glob("*.npy"):
+                np.testing.assert_allclose(
+                    np.load(ens_dir / f.name), np.load(f), rtol=1e-6
+                )
+
+
+class TestSubmissionCut:
+    def test_cut_parity(self):
+        x = np.arange(400, dtype=np.float32)[None].repeat(3, axis=0)
+        cut = cut_responses_for_submission(x)
+        # [:300] -> [50:] -> [:-1] = frames 50..298
+        assert cut.shape == (3, 249)
+        assert cut[0, 0] == 50 and cut[0, -1] == 298
