@@ -246,6 +246,11 @@ class DwiseNeuro(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     readout_pad_multiple: int = 128
+    # Rematerialize each core block in the backward pass: the inverted
+    # residuals' expanded activations (x7 channels at up to 64x64 spatial)
+    # dominate training memory; recomputing them trades cheap VPU FLOPs for
+    # ~4x less HBM, which is what lets global batch 32 fit a 16 GB chip.
+    remat: bool = True
 
     @property
     def num_mice(self) -> int:
@@ -273,11 +278,16 @@ class DwiseNeuro(nn.Module):
         x = pointwise(x, w_stem.astype(self.dtype))
         x = BatchNormAct(features[0], act=False, dtype=self.dtype, name="stem_bn")(x, train)
 
+        block_cls = InvertedResidual3d
+        if self.remat:
+            # train is a static Python bool -> mark it static for checkpoint.
+            block_cls = nn.remat(InvertedResidual3d, static_argnums=(2,))
+
         for i in range(num_blocks):
             out_features = features[i + 1] if i + 1 < num_blocks else features[i]
             pe = position_encoding_3d(features[i], *x.shape[1:4])
             x = x + jnp.asarray(pe, dtype=x.dtype)
-            x = InvertedResidual3d(
+            x = block_cls(
                 in_features=features[i],
                 out_features=out_features,
                 spatial_kernel=self.spatial_kernel,

@@ -46,31 +46,38 @@ def grouped_pointwise(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return yg.reshape(x.shape[:-1] + (groups * cout_g,)).astype(x.dtype)
 
 
+# Channels-last (B, T, H, W, C) data; grouped kernel (kt, kh, kw, 1, C).
+_DW_DIMENSION_NUMBERS = jax.lax.ConvDimensionNumbers(
+    lhs_spec=(0, 4, 1, 2, 3),  # N, C, (T, H, W)
+    rhs_spec=(4, 3, 0, 1, 2),  # O, I, (T, H, W)
+    out_spec=(0, 4, 1, 2, 3),
+)
+
+
 def depthwise_conv_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
     """Depthwise (1, k, k) conv over (H, W) with 'same' torch padding.
 
     x: (B, T, H, W, C), kernel: (k, k, C).  Output spatial size is
     floor((S + 2*(k//2) - k)/stride) + 1, matching torch Conv3d.
 
-    Lowered as k*k shifted multiply-adds (VPU) rather than a grouped conv.
+    Lowered as one ``conv_general_dilated`` with ``feature_group_count=C``
+    — a single fused op in both directions.  (An unrolled shifted-add
+    formulation computes the same thing but its transpose materializes k*k
+    separately-padded copies of the expanded activation, which blows HBM at
+    the training batch size.)
     """
     k = kernel.shape[0]
     pad = k // 2
-    b, t, h, w, c = x.shape
-    out_h = (h + 2 * pad - k) // stride + 1
-    out_w = (w + 2 * pad - k) // stride + 1
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
-    acc = jnp.zeros((b, t, out_h, out_w, c), jnp.float32)
-    for di in range(k):
-        for dj in range(k):
-            window = jax.lax.slice(
-                xp,
-                (0, 0, di, dj, 0),
-                (b, t, di + (out_h - 1) * stride + 1, dj + (out_w - 1) * stride + 1, c),
-                (1, 1, stride, stride, 1),
-            )
-            acc = acc + window.astype(jnp.float32) * kernel[di, dj].astype(jnp.float32)
-    return acc.astype(x.dtype)
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.reshape(1, k, k, 1, c).astype(x.dtype),
+        window_strides=(1, stride, stride),
+        padding=((0, 0), (pad, pad), (pad, pad)),
+        dimension_numbers=_DW_DIMENSION_NUMBERS,
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
 
 
 def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -80,10 +87,13 @@ def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """
     k = kernel.shape[0]
     pad = k // 2
-    b, t, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
-    acc = jnp.zeros(x.shape, jnp.float32)
-    for dt in range(k):
-        window = jax.lax.slice(xp, (0, dt, 0, 0, 0), (b, dt + t, h, w, c))
-        acc = acc + window.astype(jnp.float32) * kernel[dt].astype(jnp.float32)
-    return acc.astype(x.dtype)
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.reshape(k, 1, 1, 1, c).astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (0, 0), (0, 0)),
+        dimension_numbers=_DW_DIMENSION_NUMBERS,
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
