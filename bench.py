@@ -79,14 +79,13 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, loss = step(state, inputs, targets, weights)
-    jax.block_until_ready((loss, state.params))
+    float(jax.device_get(loss))  # hard sync (block_until_ready can be a
+    # no-op under remote-execution tunnels — device_get always drains)
 
     start = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, loss = step(state, inputs, targets, weights)
-    # Block on the whole state: under remote-execution tunnels, waiting on
-    # the scalar loss alone can return before the step has fully retired.
-    jax.block_until_ready((loss, state.params))
+    float(jax.device_get(loss))
     elapsed = time.perf_counter() - start
 
     clips_per_sec = BATCH * MEASURE_STEPS / elapsed

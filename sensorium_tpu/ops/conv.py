@@ -46,6 +46,20 @@ def grouped_pointwise(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return yg.reshape(x.shape[:-1] + (groups * cout_g,)).astype(x.dtype)
 
 
+def _dw_implementation() -> str:
+    """Depthwise-conv backend: 'pallas' on TPU, 'xla' elsewhere.
+
+    Override with SENSORIUM_DW_IMPL=pallas|xla (tests force interpret-mode
+    pallas on CPU to validate the kernels without hardware).
+    """
+    import os
+
+    impl = os.environ.get("SENSORIUM_DW_IMPL", "auto")
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 # Channels-last (B, T, H, W, C) data; grouped kernel (kt, kh, kw, 1, C).
 _DW_DIMENSION_NUMBERS = jax.lax.ConvDimensionNumbers(
     lhs_spec=(0, 4, 1, 2, 3),  # N, C, (T, H, W)
@@ -66,6 +80,10 @@ def depthwise_conv_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> 
     separately-padded copies of the expanded activation, which blows HBM at
     the training batch size.)
     """
+    if _dw_implementation() == "pallas":
+        from sensorium_tpu.ops.pallas_dw import dw_spatial
+
+        return dw_spatial(x, kernel.astype(x.dtype), stride)
     k = kernel.shape[0]
     pad = k // 2
     c = x.shape[-1]
@@ -85,6 +103,10 @@ def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
     x: (B, T, H, W, C), kernel: (k, C).
     """
+    if _dw_implementation() == "pallas":
+        from sensorium_tpu.ops.pallas_dw import dw_temporal
+
+        return dw_temporal(x, kernel.astype(x.dtype))
     k = kernel.shape[0]
     pad = k // 2
     c = x.shape[-1]

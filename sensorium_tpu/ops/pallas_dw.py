@@ -1,0 +1,306 @@
+"""Pallas TPU kernels for the depthwise convolutions of the DwiseNeuro core.
+
+The (2+1)D factorized depthwise convs (reference:
+``/root/reference/src/models/dwiseneuro.py:89-123``) carry almost no FLOPs
+but dominate wall-clock when lowered through XLA's grouped-conv path
+(``feature_group_count=C`` effectively serializes per channel on TPU).
+These kernels stream each (batch, frame) slab HBM -> VMEM once and apply
+the k (or k*k) taps as VPU multiply-adds, making the op purely
+HBM-bandwidth-bound — the speed-of-light for a depthwise conv.
+
+Layout: channels-last ``(B, T, H, W, C)``; C rides the 128-wide lane axis.
+
+Gradients are custom VJPs built from the same kernels:
+* d/dx of a stride-s conv is the stride-1 conv of the (interior-dilated,
+  edge-padded) cotangent with the flipped taps — so the forward kernel is
+  reused for the backward data pass (one materialized buffer, unlike the
+  unrolled shifted-add formulation whose transpose pads k*k copies);
+* d/dw accumulates tap-by-tap reductions over the grid, sequentially into
+  a (k*k, C) output block that stays resident in VMEM across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Set to True (e.g. from tests) to run all kernels in interpreter mode.
+INTERPRET = False
+
+
+# --------------------------------------------------------------- spatial fwd
+
+
+def _dw_spatial_kernel(x_ref, w_ref, out_ref, *, k: int, stride: int):
+    """One (b, t) slab: valid conv of padded (Hp, Wp, C) with (k, k, C)."""
+    x = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C)
+    oh, ow = out_ref.shape[1], out_ref.shape[2]
+    acc = jnp.zeros((oh, ow, x.shape[-1]), jnp.float32)
+    for di in range(k):
+        for dj in range(k):
+            tap = jax.lax.slice(
+                x,
+                (di, dj, 0),
+                (di + (oh - 1) * stride + 1, dj + (ow - 1) * stride + 1, x.shape[-1]),
+                (stride, stride, 1),
+            )
+            acc = acc + tap * w_ref[di, dj].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
+    """x (B, T, H, W, C), kernel (k, k, C) -> (B, T, OH, OW, C)."""
+    k = kernel.shape[0]
+    pad = k // 2
+    b, t, h, w, c = x.shape
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (w + 2 * pad - k) // stride + 1
+    n = b * t
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
+
+    out = pl.pallas_call(
+        functools.partial(_dw_spatial_kernel, k=k, stride=stride),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2 * pad, w + 2 * pad, c),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
+        interpret=INTERPRET,
+    )(xp, kernel)
+    return out.reshape(b, t, oh, ow, c)
+
+
+# ---------------------------------------------------------------- spatial dw
+
+
+def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, stride: int):
+    """Accumulate dL/dw across grid steps: dw[di,dj] += sum(tap * dy)."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C)
+    dy = dy_ref[0].astype(jnp.float32)  # (OH, OW, C)
+    oh, ow = dy.shape[0], dy.shape[1]
+    for di in range(k):
+        for dj in range(k):
+            tap = jax.lax.slice(
+                x,
+                (di, dj, 0),
+                (di + (oh - 1) * stride + 1, dj + (ow - 1) * stride + 1, x.shape[-1]),
+                (stride, stride, 1),
+            )
+            contrib = jnp.sum(tap * dy, axis=(0, 1))  # (C,)
+            dw_ref[di * k + dj] += contrib
+
+
+def _dw_spatial_grad_w(x, dy, k: int, stride: int):
+    pad = k // 2
+    b, t, h, w, c = x.shape
+    oh, ow = dy.shape[2], dy.shape[3]
+    n = b * t
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
+    dyf = dy.reshape(n, oh, ow, c)
+
+    dw = pl.pallas_call(
+        functools.partial(_dw_spatial_dw_kernel, k=k, stride=stride),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2 * pad, w + 2 * pad, c),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * k, c), jnp.float32),
+        interpret=INTERPRET,
+    )(xp, dyf)
+    return dw.reshape(k, k, c)
+
+
+# ------------------------------------------------------------ spatial custom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
+    """Depthwise (1, k, k) conv, 'same' torch padding, Pallas-fused."""
+    return _dw_spatial_fwd(x, kernel, stride)
+
+
+def _dw_spatial_vjp_fwd(x, kernel, stride):
+    return _dw_spatial_fwd(x, kernel, stride), (x, kernel)
+
+
+def _dw_spatial_vjp_bwd(stride, residuals, dy):
+    x, kernel = residuals
+    k = kernel.shape[0]
+    pad = k // 2
+    h, w = x.shape[2], x.shape[3]
+
+    # dL/dx: stride-1 conv of the dilated cotangent with the flipped taps.
+    if stride > 1:
+        dyd = jnp.zeros(
+            dy.shape[:2]
+            + ((dy.shape[2] - 1) * stride + 1, (dy.shape[3] - 1) * stride + 1)
+            + dy.shape[4:],
+            dy.dtype,
+        )
+        dyd = dyd.at[:, :, ::stride, ::stride].set(dy)
+    else:
+        dyd = dy
+    # Valid conv with the flipped kernel after edge-padding the dilated
+    # cotangent: left pad (k-1-pad); right pad sized so the valid output is
+    # exactly (h, w) — tail rows the strided forward never touched then get
+    # their (zero) gradient from the zero padding itself.
+    left = k - 1 - pad
+    right_h = h + k - 1 - dyd.shape[2] - left
+    right_w = w + k - 1 - dyd.shape[3] - left
+    dyp = jnp.pad(
+        dyd, ((0, 0), (0, 0), (left, right_h), (left, right_w), (0, 0))
+    )
+    flipped = kernel[::-1, ::-1]
+    dx = _dw_spatial_valid(dyp, flipped)
+
+    dw = _dw_spatial_grad_w(x, dy, k, stride).astype(kernel.dtype)
+    return dx.astype(x.dtype), dw
+
+
+def _dw_spatial_valid(xp: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Stride-1 VALID conv of an already-padded (B, T, Hp, Wp, C) input."""
+    k = kernel.shape[0]
+    b, t, hp, wp, c = xp.shape
+    oh, ow = hp - k + 1, wp - k + 1
+    n = b * t
+    out = pl.pallas_call(
+        functools.partial(_dw_spatial_kernel, k=k, stride=1),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), xp.dtype),
+        interpret=INTERPRET,
+    )(xp.reshape(n, hp, wp, c), kernel)
+    return out.reshape(b, t, oh, ow, c)
+
+
+dw_spatial.defvjp(_dw_spatial_vjp_fwd, _dw_spatial_vjp_bwd)
+
+
+# -------------------------------------------------------------- temporal fwd
+
+
+def _dw_temporal_kernel(x_ref, w_ref, out_ref, *, k: int):
+    """One (b, h) slab: valid temporal conv of (Tp, W, C) with (k, C)."""
+    x = x_ref[0, :, 0].astype(jnp.float32)  # (Tp, W, C)
+    t_out = out_ref.shape[1]
+    acc = jnp.zeros((t_out,) + x.shape[1:], jnp.float32)
+    for dt in range(k):
+        tap = jax.lax.slice(x, (dt, 0, 0), (dt + t_out, x.shape[1], x.shape[2]))
+        acc = acc + tap * w_ref[dt].astype(jnp.float32)
+    out_ref[0, :, 0] = acc.astype(out_ref.dtype)
+
+
+def _dw_temporal_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """x (B, T, H, W, C), kernel (k, C) -> same shape ('same' padding)."""
+    k = kernel.shape[0]
+    pad = k // 2
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_dw_temporal_kernel, k=k),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t + 2 * pad, 1, w, c),
+                lambda i, j: (i, 0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, 1, w, c), lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=INTERPRET,
+    )(xp, kernel)
+    return out
+
+
+def _dw_temporal_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[0, :, 0].astype(jnp.float32)  # (Tp, W, C)
+    dy = dy_ref[0, :, 0].astype(jnp.float32)  # (T, W, C)
+    t_out = dy.shape[0]
+    for dt in range(k):
+        tap = jax.lax.slice(x, (dt, 0, 0), (dt + t_out, x.shape[1], x.shape[2]))
+        dw_ref[dt] += jnp.sum(tap * dy, axis=(0, 1))
+
+
+def _dw_temporal_grad_w(x, dy, k: int):
+    pad = k // 2
+    b, t, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    dw = pl.pallas_call(
+        functools.partial(_dw_temporal_dw_kernel, k=k),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t + 2 * pad, 1, w, c),
+                lambda i, j: (i, 0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t, 1, w, c), lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((k, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, c), jnp.float32),
+        interpret=INTERPRET,
+    )(xp, dy)
+    return dw
+
+
+@jax.custom_vjp
+def dw_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise (k, 1, 1) conv, 'same' torch padding, Pallas-fused."""
+    return _dw_temporal_fwd(x, kernel)
+
+
+def _dw_temporal_vjp_fwd(x, kernel):
+    return _dw_temporal_fwd(x, kernel), (x, kernel)
+
+
+def _dw_temporal_vjp_bwd(residuals, dy):
+    x, kernel = residuals
+    # Stride 1, odd k, same padding: dL/dx is the same conv with flipped taps.
+    dx = _dw_temporal_fwd(dy, kernel[::-1])
+    dw = _dw_temporal_grad_w(x, dy, kernel.shape[0]).astype(kernel.dtype)
+    return dx.astype(x.dtype), dw
+
+
+dw_temporal.defvjp(_dw_temporal_vjp_fwd, _dw_temporal_vjp_bwd)
