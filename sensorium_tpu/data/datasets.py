@@ -72,22 +72,51 @@ class MouseTrialStore:
         return arr
 
     def gather(self, trial_index: int, frame_indexes: np.ndarray, key: str) -> np.ndarray:
-        return np.asarray(self._array(self.trials[trial_index][key])[..., frame_indexes])
+        arr = self._array(self.trials[trial_index][key])
+        if arr.ndim == 2 and arr.dtype == np.float32:
+            from sensorium_tpu.data import native
+
+            return native.gather_rows(arr, frame_indexes)
+        return np.asarray(arr[..., frame_indexes])
 
     def window_sample(
         self, trial_index: int, anchor: int, with_responses: bool = True
     ) -> tuple[np.ndarray, np.ndarray | None]:
-        """Assemble (input, target) for the window anchored at ``anchor``."""
+        """Assemble (input, target) for the window anchored at ``anchor``.
+
+        The fused native path (C++ gather + canvas assembly, see
+        ``native/sensorium_host.cpp``) is used when the input processor and
+        array dtypes allow it; otherwise the NumPy processors run.
+        """
         frame_indexes = self.indexer.window(anchor)
-        frames = self.gather(trial_index, frame_indexes, "video_path")
-        behavior = self.gather(trial_index, frame_indexes, "behavior_path")
-        pupil_center = self.gather(trial_index, frame_indexes, "pupil_center_path")
-        inputs = self.inputs_processor(frames, behavior, pupil_center)
+        inputs = self._native_input(trial_index, frame_indexes)
+        if inputs is None:
+            frames = self.gather(trial_index, frame_indexes, "video_path")
+            behavior = self.gather(trial_index, frame_indexes, "behavior_path")
+            pupil_center = self.gather(trial_index, frame_indexes, "pupil_center_path")
+            inputs = self.inputs_processor(frames, behavior, pupil_center)
         target = None
         if with_responses and "response_path" in self.trials[trial_index]:
             responses = self.gather(trial_index, frame_indexes, "response_path")
             target = self.responses_processor(responses)
         return inputs, target
+
+    def _native_input(self, trial_index: int, frame_indexes: np.ndarray):
+        from sensorium_tpu.data import native
+        from sensorium_tpu.data.inputs import StackInputsProcessor
+
+        proc = self.inputs_processor
+        if type(proc) is not StackInputsProcessor:
+            return None
+        trial = self.trials[trial_index]
+        return native.assemble_stack_input(
+            self._array(trial["video_path"]),
+            np.asarray(self._array(trial["behavior_path"]), np.float32),
+            np.asarray(self._array(trial["pupil_center_path"]), np.float32),
+            frame_indexes,
+            proc.size,
+            proc.pad_fill_value,
+        )
 
 
 class TrainMiceDataset:

@@ -1,0 +1,134 @@
+"""ctypes bindings for the native host runtime (``native/sensorium_host.cpp``).
+
+Loads (building on first use if a toolchain is available) the C++ shared
+library implementing the hot host-side copies of the data pipeline:
+time-window gathers and the fused StackInputs assembly.  Every entry point
+has a NumPy fallback, so the framework degrades gracefully on systems
+without ``g++``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libsensorium_host.so"
+
+_lib = None
+_lib_checked = False
+
+
+def _load_library():
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    try:
+        if not _LIB_PATH.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+    i64 = ctypes.c_int64
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    lib.gather_rows_f32.argtypes = [fp, i64, i64, ip, i64, fp]
+    lib.gather_rows_f32.restype = None
+    lib.assemble_stack_input.argtypes = [
+        fp, i64, i64, i64,  # video
+        fp, i64,  # behavior
+        fp, i64,  # pupil
+        ip, i64,  # indexes
+        i64, i64, ctypes.c_float,  # out_h, out_w, fill
+        fp,
+    ]
+    lib.assemble_stack_input.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load_library() is not None
+
+
+def _f32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def gather_rows(src: np.ndarray, indexes: np.ndarray) -> np.ndarray:
+    """``src[..., indexes]`` for 2-D float32 row-major ``src`` (rows, T)."""
+    lib = _load_library()
+    indexes = np.ascontiguousarray(indexes, dtype=np.int64)
+    if (
+        lib is None
+        or src.dtype != np.float32
+        or src.ndim != 2
+        or src.strides[1] != 4
+    ):
+        return np.ascontiguousarray(src[..., indexes])
+    rows, t = src.shape
+    if src.strides[0] != t * 4:
+        return np.ascontiguousarray(src[..., indexes])
+    out = np.empty((rows, indexes.shape[0]), np.float32)
+    lib.gather_rows_f32(_f32ptr(src), rows, t, _i64ptr(indexes), indexes.shape[0], _f32ptr(out))
+    return out
+
+
+def assemble_stack_input(
+    video: np.ndarray,  # (H, W, T) float32, C-contiguous (mmap ok)
+    behavior: np.ndarray,  # (2, T)
+    pupil_center: np.ndarray,  # (2, T)
+    indexes: np.ndarray,  # (S,) window frame indexes
+    out_size: tuple[int, int],  # (width, height) canvas
+    fill: float = 0.0,
+    out: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Fused window gather + canvas pad + broadcast into (5, S, H', W').
+
+    Returns None when the native path cannot handle the input (caller
+    falls back to the NumPy processor).
+    """
+    lib = _load_library()
+    if lib is None:
+        return None
+    if video.dtype != np.float32 or video.ndim != 3:
+        return None
+    if behavior.dtype != np.float32 or pupil_center.dtype != np.float32:
+        return None
+    h, w, t = video.shape
+    if video.strides != (w * t * 4, t * 4, 4):
+        return None
+    if behavior.strides[-1] != 4 or pupil_center.strides[-1] != 4:
+        return None
+
+    width, height = out_size
+    indexes = np.ascontiguousarray(indexes, dtype=np.int64)
+    s = indexes.shape[0]
+    if out is None:
+        out = np.empty((5, s, height, width), np.float32)
+    # Keep contiguous copies referenced for the duration of the C call.
+    behavior_c = np.ascontiguousarray(behavior)
+    pupil_c = np.ascontiguousarray(pupil_center)
+    lib.assemble_stack_input(
+        _f32ptr(video), h, w, t,
+        _f32ptr(behavior_c), behavior_c.shape[-1],
+        _f32ptr(pupil_c), pupil_c.shape[-1],
+        _i64ptr(indexes), s,
+        height, width, ctypes.c_float(fill),
+        _f32ptr(out),
+    )
+    return out
