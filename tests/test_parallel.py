@@ -1,0 +1,149 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+batch-DP training parity with single-device execution (GSPMD sync-BN),
+tensor-parallel parameter sharding, and the driver dry-run path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sensorium_tpu.data.datasets import MiceBatch
+from sensorium_tpu.engine import MouseModel
+from sensorium_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate_tree,
+    shard_params,
+)
+
+from tests.test_engine import random_batch, tiny_params
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return create_mesh(num_data=4, num_model=2)
+
+
+class TestMeshSetup:
+    def test_mesh_shape(self, mesh):
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_batch_sharding_partitions_leading_axis(self, mesh):
+        x = np.zeros((8, 3), np.float32)
+        sharded = jax.device_put(x, batch_sharding(mesh))
+        assert len(sharded.sharding.device_set) == 8 or len(
+            sharded.sharding.device_set
+        ) == 4  # data axis only
+        # Each data-axis shard holds 8/4 = 2 rows.
+        shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+        assert shard_shapes == {(2, 3)}
+
+
+class TestDataParallelParity:
+    def test_sharded_step_matches_single_device(self, mesh):
+        """Batch-sharded jit must produce the same loss and updated params
+        as unsharded execution — this is exactly the sync-BN guarantee
+        (BN moments reduce over the GLOBAL batch under GSPMD)."""
+        rng = np.random.default_rng(0)
+        batch = random_batch(rng, batch=8)
+
+        # SGD: the update is linear in the gradient, so reduction-order
+        # noise stays tiny.  (Adam's first step is sign(g), which amplifies
+        # 1e-8 reassociation noise on near-zero gradients into +-lr flips.)
+        params = tiny_params()
+        params["optimizer"] = ("SGD", {"lr": 1e-3})
+
+        single = MouseModel(params)
+        single.build_state(seed=0, learning_rate=1e-3)
+        loss_single = float(single.train_step(batch))
+
+        sharded = MouseModel(params, mesh=mesh)
+        sharded.build_state(seed=0, learning_rate=1e-3)
+        loss_sharded = float(sharded.train_step(batch))
+
+        assert loss_single == pytest.approx(loss_sharded, rel=1e-5)
+        # Parameters after the step agree (optimizer ran on matching grads).
+        # Depthwise kernels sit immediately before BatchNorm, which drives
+        # their true gradient to ~0 through cancellation of O(1e3) summands
+        # — different reduction orders then legitimately disagree at f32,
+        # so those two weights get an absolute (cancellation-scale * lr)
+        # tolerance instead of a relative one.
+        p_single = jax.device_get(single.state.params)
+        p_sharded = jax.device_get(sharded.state.params)
+        flat_s, tree = jax.tree_util.tree_flatten_with_path(p_single)
+        flat_m, _ = jax.tree_util.tree_flatten(p_sharded)
+        for (path, a), b in zip(flat_s, flat_m):
+            name = jax.tree_util.keystr(path)
+            if "dw_kernel" in name:
+                np.testing.assert_allclose(a, b, atol=5e-3)
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_bn_stats_see_global_batch(self, mesh):
+        """BN running means must match between sharded and single-device
+        runs — per-device BN would diverge on a heterogeneous batch."""
+        rng = np.random.default_rng(1)
+        batch = random_batch(rng, batch=8)
+        # Make per-device sub-batches statistically different.
+        batch.inputs[:4] *= 3.0
+
+        single = MouseModel(tiny_params())
+        single.build_state(seed=0, learning_rate=0.0)
+        single.train_step(batch)
+
+        sharded = MouseModel(tiny_params(), mesh=mesh)
+        sharded.build_state(seed=0, learning_rate=0.0)
+        sharded.train_step(batch)
+
+        bn_single = jax.device_get(single.state.batch_stats)
+        bn_sharded = jax.device_get(sharded.state.batch_stats)
+        flat_s, _ = jax.tree_util.tree_flatten(bn_single)
+        flat_m, _ = jax.tree_util.tree_flatten(bn_sharded)
+        for a, b in zip(flat_s, flat_m):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_readout_kernel_sharded_over_model_axis(self, mesh):
+        model = MouseModel(tiny_params(), mesh=mesh)
+        model.build_state(seed=0, learning_rate=1e-3)
+        tp_params = shard_params(mesh, model.state.params, tensor_parallel=True)
+        kernel = tp_params["readout_kernel"]
+        # Padded-output axis split over the 2-way model axis.
+        shard_shapes = {s.data.shape for s in kernel.addressable_shards}
+        full = kernel.shape
+        assert shard_shapes == {(full[0], full[1], full[2], full[3] // 2)}
+
+        # The forward still runs and matches the replicated result.
+        rng = np.random.default_rng(2)
+        batch = random_batch(rng, batch=8)
+        state = model.state.replace(params=tp_params)
+        expected = model.predict(batch.inputs, mouse_index=1)
+        model.state = state
+        actual = model.predict(batch.inputs, mouse_index=1)
+        np.testing.assert_allclose(
+            np.asarray(actual), np.asarray(expected), rtol=1e-4, atol=1e-5
+        )
+
+    def test_tp_train_step_runs(self, mesh):
+        model = MouseModel(tiny_params(), mesh=mesh)
+        model.set_ema(0.9)
+        model.build_state(seed=0, learning_rate=1e-3)
+        model.state = model.state.replace(
+            params=shard_params(mesh, model.state.params, tensor_parallel=True),
+            ema_params=shard_params(mesh, model.state.ema_params, tensor_parallel=True),
+        )
+        rng = np.random.default_rng(3)
+        batch = random_batch(rng, batch=8)
+        loss1 = float(model.train_step(batch))
+        loss2 = float(model.train_step(batch))
+        assert np.isfinite(loss1) and np.isfinite(loss2)
+
+
+class TestDryrun:
+    def test_dryrun_multichip(self, capsys):
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+        assert "ok" in capsys.readouterr().out
