@@ -35,25 +35,55 @@ INTERPRET = False
 # --------------------------------------------------------------- spatial fwd
 
 
-def _dw_spatial_kernel(x_ref, w_ref, out_ref, *, k: int, stride: int):
-    """One (b, t) slab: valid conv of padded (Hp, Wp, C) with (k, k, C)."""
+def _dw_spatial_kernel(x_ref, w_ref, out_ref, *, k: int):
+    """One (b, t) slab: stride-1 valid conv of (Hp, Wp, C) with (k, k, C)."""
     x = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C)
     oh, ow = out_ref.shape[1], out_ref.shape[2]
     acc = jnp.zeros((oh, ow, x.shape[-1]), jnp.float32)
     for di in range(k):
         for dj in range(k):
-            tap = jax.lax.slice(
-                x,
-                (di, dj, 0),
-                (di + (oh - 1) * stride + 1, dj + (ow - 1) * stride + 1, x.shape[-1]),
-                (stride, stride, 1),
-            )
+            tap = jax.lax.slice(x, (di, dj, 0), (di + oh, dj + ow, x.shape[-1]))
             acc = acc + tap * w_ref[di, dj].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _dw_spatial_s2_kernel(x_ref, w_ref, out_ref, *, k: int):
+    """Stride-2 valid conv on a parity-decomposed slab.
+
+    Mosaic cannot lower strided vector slices, so stride 2 is rewritten as
+    four stride-1 convs over the even/odd row/column planes:
+      y[i,j] = sum_{r,s} sum_{a,b} w[2a+r, 2b+s] * P[r,s][i+a, j+b].
+    x_ref block: (1, 4, Hh, Wh, C) with plane index (r * 2 + s).
+    """
+    x = x_ref[0].astype(jnp.float32)  # (4, Hh, Wh, C)
+    oh, ow = out_ref.shape[1], out_ref.shape[2]
+    acc = jnp.zeros((oh, ow, x.shape[-1]), jnp.float32)
+    for r in range(2):
+        for s in range(2):
+            plane = x[r * 2 + s]
+            for a in range((k - r + 1) // 2):
+                for b in range((k - s + 1) // 2):
+                    tap = jax.lax.slice(
+                        plane, (a, b, 0), (a + oh, b + ow, plane.shape[-1])
+                    )
+                    acc = acc + tap * w_ref[2 * a + r, 2 * b + s].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _parity_split(xp: jax.Array) -> jax.Array:
+    """(N, Hp, Wp, C) -> (N, 4, ceil(Hp/2), ceil(Wp/2), C) even/odd planes."""
+    n, hp, wp, c = xp.shape
+    hh, wh = (hp + 1) // 2, (wp + 1) // 2
+    xp = jnp.pad(xp, ((0, 0), (0, 2 * hh - hp), (0, 2 * wh - wp), (0, 0)))
+    xp = xp.reshape(n, hh, 2, wh, 2, c)
+    xp = jnp.transpose(xp, (0, 2, 4, 1, 3, 5))  # (N, 2, 2, Hh, Wh, C)
+    return xp.reshape(n, 4, hh, wh, c)
+
+
 def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     """x (B, T, H, W, C), kernel (k, k, C) -> (B, T, OH, OW, C)."""
+    if stride not in (1, 2):
+        raise NotImplementedError(f"stride {stride} not supported")
     k = kernel.shape[0]
     pad = k // 2
     b, t, h, w, c = x.shape
@@ -63,14 +93,34 @@ def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
     xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
 
+    if stride == 1:
+        out = pl.pallas_call(
+            functools.partial(_dw_spatial_kernel, k=k),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h + 2 * pad, w + 2 * pad, c),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
+            interpret=INTERPRET,
+        )(xp, kernel)
+        return out.reshape(b, t, oh, ow, c)
+
+    planes = _parity_split(xp)
+    hh, wh = planes.shape[2], planes.shape[3]
     out = pl.pallas_call(
-        functools.partial(_dw_spatial_kernel, k=k, stride=stride),
+        functools.partial(_dw_spatial_s2_kernel, k=k),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(
-                (1, h + 2 * pad, w + 2 * pad, c),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, 4, hh, wh, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -79,15 +129,15 @@ def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         interpret=INTERPRET,
-    )(xp, kernel)
+    )(planes, kernel)
     return out.reshape(b, t, oh, ow, c)
 
 
 # ---------------------------------------------------------------- spatial dw
 
 
-def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, stride: int):
-    """Accumulate dL/dw across grid steps: dw[di,dj] += sum(tap * dy)."""
+def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int):
+    """Stride-1 dL/dw accumulation: dw[di,dj] += sum(tap * dy) per slab."""
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -98,14 +148,27 @@ def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int, stride: int):
     oh, ow = dy.shape[0], dy.shape[1]
     for di in range(k):
         for dj in range(k):
-            tap = jax.lax.slice(
-                x,
-                (di, dj, 0),
-                (di + (oh - 1) * stride + 1, dj + (ow - 1) * stride + 1, x.shape[-1]),
-                (stride, stride, 1),
-            )
-            contrib = jnp.sum(tap * dy, axis=(0, 1))  # (C,)
-            dw_ref[di * k + dj] += contrib
+            tap = jax.lax.slice(x, (di, dj, 0), (di + oh, dj + ow, x.shape[-1]))
+            dw_ref[di * k + dj] += jnp.sum(tap * dy, axis=(0, 1))
+
+
+def _dw_spatial_dw_s2_kernel(x_ref, dy_ref, dw_ref, *, k: int):
+    """Stride-2 dL/dw on parity planes (x_ref block (1, 4, Hh, Wh, C))."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (4, Hh, Wh, C)
+    dy = dy_ref[0].astype(jnp.float32)  # (OH, OW, C)
+    oh, ow = dy.shape[0], dy.shape[1]
+    for di in range(k):
+        for dj in range(k):
+            a, r = di // 2, di % 2
+            b, s = dj // 2, dj % 2
+            plane = x[r * 2 + s]
+            tap = jax.lax.slice(plane, (a, b, 0), (a + oh, b + ow, plane.shape[-1]))
+            dw_ref[di * k + dj] += jnp.sum(tap * dy, axis=(0, 1))
 
 
 def _dw_spatial_grad_w(x, dy, k: int, stride: int):
@@ -117,21 +180,41 @@ def _dw_spatial_grad_w(x, dy, k: int, stride: int):
     xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
     dyf = dy.reshape(n, oh, ow, c)
 
+    if stride == 1:
+        dw = pl.pallas_call(
+            functools.partial(_dw_spatial_dw_kernel, k=k),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h + 2 * pad, w + 2 * pad, c),
+                    lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec((k * k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k * k, c), jnp.float32),
+            interpret=INTERPRET,
+        )(xp, dyf)
+        return dw.reshape(k, k, c)
+
+    planes = _parity_split(xp)
+    hh, wh = planes.shape[2], planes.shape[3]
     dw = pl.pallas_call(
-        functools.partial(_dw_spatial_dw_kernel, k=k, stride=stride),
+        functools.partial(_dw_spatial_dw_s2_kernel, k=k),
         grid=(n,),
         in_specs=[
             pl.BlockSpec(
-                (1, h + 2 * pad, w + 2 * pad, c),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, 4, hh, wh, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k * k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k * k, c), jnp.float32),
         interpret=INTERPRET,
-    )(xp, dyf)
+    )(planes, dyf)
     return dw.reshape(k, k, c)
 
 

@@ -213,6 +213,25 @@ class TestPredictionPipeline:
                 )
 
 
+class TestDistillationPipeline:
+    def test_distill_training_from_teacher_checkpoint(self, trained_fold):
+        """Full distillation flow: resolve the teacher fold checkpoint,
+        inject its predictions and train a student (distillation_001
+        semantics, reference scripts/train.py:58-66)."""
+        from sensorium_tpu.cli.train import train_mouse
+
+        save_dir, _, _ = trained_fold
+        config = tiny_experiment_config()
+        config["num_epochs"] = [1, 1]
+        config["distill"] = {"experiment": "tiny_exp", "ratio": 0.36}
+        student_dir = constants.experiments_dir / "tiny_distill" / "fold_0"
+        val_splits = ["fold_0"]
+        train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+        model = train_mouse(config, student_dir, train_splits, val_splits, seed=1)
+        assert model.distill_ratio == pytest.approx(0.36)
+        assert get_best_model_path(student_dir) is not None
+
+
 class TestSubmissionCut:
     def test_cut_parity(self):
         x = np.arange(400, dtype=np.float32)[None].repeat(3, axis=0)
