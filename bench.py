@@ -6,16 +6,27 @@ readouts + Poisson loss + backward + AdamW + EMA, bf16 compute) of the
 regime, which sustains ~35 clips/s on an RTX A6000 with AMP fp16
 (BASELINE.md: 72,000 samples x 21 epochs / 12 h).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+``detail`` carries the depthwise-conv backend used, an eval-forward
+throughput breakdown, and per-phase wall timings from
+``sensorium_tpu.utils.profiling.Stopwatch``.
+
+Modes (flags):
+  (none)      headline training throughput with the default dw backend
+  --ab        also measure the alternate dw backend (pallas vs xla A/B);
+              the headline value is the faster one
+  --loader    host input-pipeline throughput (samples/s) on synthetic mmap
+              files, native C++ assembly on and off
+  --trace DIR additionally capture a jax.profiler trace of the measured steps
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import sys
 import time
-
-import jax
-import numpy as np
 
 BASELINE_CLIPS_PER_SEC = 35.0  # reference derived throughput (BASELINE.md)
 BATCH = 32
@@ -25,10 +36,12 @@ MEASURE_STEPS = 10
 
 
 def build():
+    import jax
+
     from sensorium_tpu import constants
     from sensorium_tpu.engine.losses import get_loss
     from sensorium_tpu.engine.model import MouseModel
-    from sensorium_tpu.engine.steps import make_train_step
+    from sensorium_tpu.engine.steps import make_train_step, make_val_step
 
     params = {
         "nn_module": (
@@ -60,14 +73,19 @@ def build():
     model = MouseModel(params)
     model.set_ema(0.999)
     state = model.build_state(seed=0, learning_rate=2.4e-3)
-    step = make_train_step(model.nn_module, model.tx, get_loss("mice_poisson", {}), ema_decay=0.999)
-    return state, step
+    train_step = make_train_step(
+        model.nn_module, model.tx, get_loss("mice_poisson", {}), ema_decay=0.999
+    )
+    val_step = make_val_step(model.nn_module, get_loss("mice_poisson", {}))
+    return state, train_step, val_step
 
 
-def main():
+def synthetic_batch():
+    import jax
+    import numpy as np
+
     from sensorium_tpu import constants
 
-    state, step = build()
     rng = np.random.default_rng(0)
     inputs = rng.uniform(0, 255, (BATCH, 5, FRAMES, HEIGHT, WIDTH)).astype(np.float32)
     targets = rng.gamma(1.5, 1.0, (BATCH, constants.max_num_neurons, FRAMES)).astype(
@@ -75,27 +93,206 @@ def main():
     )
     weights = np.zeros((BATCH, constants.num_mice), np.float32)
     weights[np.arange(BATCH), np.arange(BATCH) % constants.num_mice] = 1.0
-    inputs, targets, weights = jax.device_put((inputs, targets, weights))
+    return jax.device_put((inputs, targets, weights))
 
-    for _ in range(WARMUP_STEPS):
-        state, loss = step(state, inputs, targets, weights)
-    float(jax.device_get(loss))  # hard sync (block_until_ready can be a
-    # no-op under remote-execution tunnels — device_get always drains)
 
-    start = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, loss = step(state, inputs, targets, weights)
-    float(jax.device_get(loss))
-    elapsed = time.perf_counter() - start
+def measure_train(trace_dir: str | None = None) -> dict:
+    """Train-step + eval-forward clips/s for the active dw backend."""
+    import contextlib
 
-    clips_per_sec = BATCH * MEASURE_STEPS / elapsed
+    import jax
+
+    from sensorium_tpu.ops.conv import _dw_implementation
+    from sensorium_tpu.utils.profiling import Stopwatch, trace
+
+    watch = Stopwatch()
+    with watch.section("build"):
+        state, train_step, val_step = build()
+    inputs, targets, weights = synthetic_batch()
+
+    with watch.section("compile_train"):
+        for _ in range(WARMUP_STEPS):
+            state, loss = train_step(state, inputs, targets, weights)
+        float(jax.device_get(loss))  # hard sync (block_until_ready can be a
+        # no-op under remote-execution tunnels — device_get always drains)
+
+    ctx = trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    with ctx:
+        with watch.section("train_steps"):
+            start = time.perf_counter()
+            for _ in range(MEASURE_STEPS):
+                state, loss = train_step(state, inputs, targets, weights)
+            float(jax.device_get(loss))
+            train_elapsed = time.perf_counter() - start
+
+    eval_params = state.ema_params if state.ema_params is not None else state.params
+    eval_stats = (
+        state.ema_batch_stats if state.ema_batch_stats is not None else state.batch_stats
+    )
+    with watch.section("compile_eval"):
+        loss, _ = val_step(eval_params, eval_stats, inputs, targets, weights)
+        float(jax.device_get(loss))
+    with watch.section("eval_steps"):
+        start = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            loss, _ = val_step(eval_params, eval_stats, inputs, targets, weights)
+        float(jax.device_get(loss))
+        eval_elapsed = time.perf_counter() - start
+
+    return {
+        "dw_impl": _dw_implementation(),
+        "train_clips_per_sec": round(BATCH * MEASURE_STEPS / train_elapsed, 2),
+        "eval_clips_per_sec": round(BATCH * MEASURE_STEPS / eval_elapsed, 2),
+        "phase_seconds": {k: round(v, 3) for k, v in watch.summary().items()},
+    }
+
+
+def measure_train_subprocess(dw_impl: str) -> dict:
+    """Measure one dw backend in a fresh process (jit caches are sticky)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SENSORIUM_DW_IMPL"] = dw_impl
+    env["SENSORIUM_BENCH_CHILD"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench child ({dw_impl}) failed:\n{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])["detail"]
+
+
+def measure_loader() -> dict:
+    """Host input-pipeline throughput at the real training shapes.
+
+    Builds synthetic mmap'd trials with the production window geometry
+    (31-raw-frame windows, 64x64 canvas) and measures ``MiceDataLoader``
+    samples/s with the native C++ assembly on and off.  Demonstrates the
+    host can outrun device demand (SURVEY.md §7 hard part 4).
+    """
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from sensorium_tpu import constants
+    from sensorium_tpu.data import native as native_mod
+    from sensorium_tpu.data.datasets import TrainMiceDataset
+    from sensorium_tpu.data.indexes import WindowIndexer
+    from sensorium_tpu.data.inputs import get_inputs_processor
+    from sensorium_tpu.data.loader import MiceDataLoader
+    from sensorium_tpu.data.mouse_data import get_mouse_data
+    from sensorium_tpu.data.responses import get_responses_processor
+
+    epoch_size = 2560
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        rng = np.random.default_rng(0)
+        root = Path(tmp)
+        for mouse in constants.mice:
+            mdir = root / mouse
+            for sub in ("data/videos", "data/behavior", "data/pupil_center",
+                        "data/responses", "meta/trials", "meta/neurons"):
+                (mdir / sub).mkdir(parents=True)
+            length = 300
+            np.save(mdir / "meta/trials/tiers.npy", np.array(["train"] * 4))
+            n_neurons = constants.mouse2num_neurons[mouse]
+            np.save(mdir / "meta/neurons/unit_ids.npy",
+                    np.arange(1, n_neurons + 1, dtype=np.int64))
+            np.save(mdir / "meta/neurons/cell_motor_coordinates.npy",
+                    rng.uniform(0, 100, (n_neurons, 3)).astype(np.float32))
+            for trial in range(4):
+                np.save(mdir / f"data/videos/{trial}.npy",
+                        rng.uniform(0, 255, (36, 64, length)).astype(np.float32))
+                np.save(mdir / f"data/behavior/{trial}.npy",
+                        rng.uniform(0, 5, (2, length)).astype(np.float32))
+                np.save(mdir / f"data/pupil_center/{trial}.npy",
+                        rng.uniform(50, 200, (2, length)).astype(np.float32))
+                np.save(mdir / f"data/responses/{trial}.npy",
+                        rng.gamma(1.5, 1.0, (n_neurons, length)).astype(np.float32))
+
+        from sensorium_tpu.data import mouse_data as mouse_data_mod
+
+        old_dir = constants.sensorium_dir
+        constants.sensorium_dir = root
+        mouse_data_mod.get_folds_tiers.cache_clear()
+        try:
+            for use_native in (True, False):
+                os.environ["SENSORIUM_NATIVE"] = "1" if use_native else "0"
+                native_mod.reset()
+                mice_data = [
+                    get_mouse_data(m, tuple(constants.folds_splits))
+                    for m in constants.mice
+                ]
+                dataset = TrainMiceDataset(
+                    mice_data,
+                    WindowIndexer(size=FRAMES, step=2, position="last"),
+                    get_inputs_processor("stack_inputs", {"size": (HEIGHT, WIDTH),
+                                                          "pad_fill_value": 0.0}),
+                    get_responses_processor("identity", {}),
+                    mouse_epoch_size=epoch_size // constants.num_mice,
+                )
+                loader = MiceDataLoader(dataset, batch_size=BATCH, num_threads=8)
+                n = 0
+                start = time.perf_counter()
+                for batch in loader:
+                    n += len(batch)
+                elapsed = time.perf_counter() - start
+                key = "native_samples_per_sec" if use_native else "numpy_samples_per_sec"
+                results[key] = round(n / elapsed, 1)
+        finally:
+            os.environ.pop("SENSORIUM_NATIVE", None)
+            native_mod.reset()
+            constants.sensorium_dir = old_dir
+            mouse_data_mod.get_folds_tiers.cache_clear()
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ab", action="store_true", help="A/B pallas vs xla dw impls")
+    parser.add_argument("--loader", action="store_true", help="host loader throughput")
+    parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
+    args = parser.parse_args()
+
+    if args.loader:
+        detail = measure_loader()
+        best = max(detail.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "loader_samples_per_sec",
+                    "value": best,
+                    "unit": "samples/s",
+                    "vs_baseline": round(best / BASELINE_CLIPS_PER_SEC, 3),
+                    "detail": detail,
+                }
+            )
+        )
+        return
+
+    if args.ab:
+        detail = {impl: measure_train_subprocess(impl) for impl in ("xla", "pallas")}
+        winner = max(detail, key=lambda i: detail[i]["train_clips_per_sec"])
+        clips = detail[winner]["train_clips_per_sec"]
+        detail["winner"] = winner
+    else:
+        detail = measure_train(trace_dir=args.trace)
+        clips = detail["train_clips_per_sec"]
+
     print(
         json.dumps(
             {
                 "metric": "train_clips_per_sec_per_chip_b32_fwd_bwd",
-                "value": round(clips_per_sec, 2),
+                "value": clips,
                 "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+                "vs_baseline": round(clips / BASELINE_CLIPS_PER_SEC, 3),
+                "detail": detail,
             }
         )
     )

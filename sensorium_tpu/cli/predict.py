@@ -38,15 +38,19 @@ def _fold_model_path(experiment: str, fold_split: str):
 
 
 def predict_folds(experiment: str, dataset: str, chunk_size: int = 32) -> None:
-    """Out-of-fold predictions: each fold's trials by that fold's model."""
+    """Out-of-fold predictions: each fold's trials by that fold's model.
+
+    One Predictor per fold (7 checkpoint loads total), reused across mice —
+    not one per (mouse, fold) pair.
+    """
     print(f"Predict folds: {experiment=}, {dataset=}")
-    for mouse in constants.dataset2mice[dataset]:
-        mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
-        for fold_split in constants.folds_splits:
-            predictor = Predictor(
-                _fold_model_path(experiment, fold_split),
-                blend_weights="ones", chunk_size=chunk_size,
-            )
+    for fold_split in constants.folds_splits:
+        predictor = Predictor(
+            _fold_model_path(experiment, fold_split),
+            blend_weights="ones", chunk_size=chunk_size,
+        )
+        for mouse in constants.dataset2mice[dataset]:
+            mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
             predict_mouse_split(mouse, fold_split, [predictor], mouse_dir)
 
 

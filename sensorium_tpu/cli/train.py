@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import copy
 import json
+import shutil
 from importlib.machinery import SourceFileLoader
 from pathlib import Path
 
@@ -192,8 +193,12 @@ def main():
 
     experiment_dir = constants.experiments_dir / args.experiment
     experiment_dir.mkdir(parents=True, exist_ok=True)
+    # Reproducibility snapshot (reference scripts/train.py:167-171): the
+    # resolved config (JSON), the raw config source, and the train entry.
     with open(experiment_dir / "config.json", "w") as outfile:
         json.dump(config, outfile, indent=4, default=str)
+    shutil.copy(config_path, experiment_dir / config_path.name)
+    shutil.copy(Path(__file__).resolve(), experiment_dir / "train.py")
 
     mesh = build_mesh(args)
     if mesh is not None:

@@ -22,11 +22,22 @@ _lib = None
 _lib_checked = False
 
 
+def reset() -> None:
+    """Drop the cached library handle (re-evaluates SENSORIUM_NATIVE)."""
+    global _lib, _lib_checked
+    _lib = None
+    _lib_checked = False
+
+
 def _load_library():
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
     _lib_checked = True
+    import os
+
+    if os.environ.get("SENSORIUM_NATIVE", "1") == "0":
+        return None
     try:
         if not _LIB_PATH.exists():
             subprocess.run(
@@ -116,6 +127,10 @@ def assemble_stack_input(
         return None
 
     width, height = out_size
+    if h > height or w > width:
+        # The C++ centering assumes the frame fits the canvas; an oversized
+        # frame would index out of bounds (the NumPy fallback fails loudly).
+        return None
     indexes = np.ascontiguousarray(indexes, dtype=np.int64)
     s = indexes.shape[0]
     if out is None:

@@ -1,12 +1,17 @@
 """Pallas TPU kernels for the depthwise convolutions of the DwiseNeuro core.
 
 The (2+1)D factorized depthwise convs (reference:
-``/root/reference/src/models/dwiseneuro.py:89-123``) carry almost no FLOPs
-but dominate wall-clock when lowered through XLA's grouped-conv path
-(``feature_group_count=C`` effectively serializes per channel on TPU).
+``/root/reference/src/models/dwiseneuro.py:89-123``) carry almost no FLOPs.
 These kernels stream each (batch, frame) slab HBM -> VMEM once and apply
-the k (or k*k) taps as VPU multiply-adds, making the op purely
-HBM-bandwidth-bound — the speed-of-light for a depthwise conv.
+the k (or k*k) taps as VPU multiply-adds.
+
+Measured verdict (TPU v5e, flagship batch-32 training step, bench.py):
+the XLA ``conv_general_dilated`` lowering wins (~98 vs ~49 clips/s) —
+XLA fuses the adjacent BN/SiLU elementwise work into the conv, while this
+path pays for the stride-2 parity-split materialization and per-slab grid
+overhead.  The kernels are kept as a correct, parity-tested alternative
+(``SENSORIUM_DW_IMPL=pallas``) and as the substrate for future fused
+(conv+BN+SiLU) epilogues.
 
 Layout: channels-last ``(B, T, H, W, C)``; C rides the 128-wide lane axis.
 
@@ -30,6 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Set to True (e.g. from tests) to run all kernels in interpreter mode.
 INTERPRET = False
+
+# Channel tile for the spatial kernels: C rides the 128-wide lane axis, and
+# tiling the grid over channel blocks keeps each slab's VMEM working set
+# (input block + fp32 accumulator + output block, double-buffered) under the
+# ~16 MB scoped-vmem limit at the flagship's widest block (448 channels at
+# 64x64 -> 22 MB untiled).  Channels are independent in a depthwise conv, so
+# boundary-padding lanes (for C % 128 != 0) never mix into real lanes.
+_CHANNEL_TILE = 128
+
+
+def _ct(c: int) -> tuple[int, int]:
+    """(tile, num_tiles) for a channel count."""
+    tile = min(c, _CHANNEL_TILE)
+    return tile, -(-c // tile)
 
 
 # --------------------------------------------------------------- spatial fwd
@@ -93,20 +112,21 @@ def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
     xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
 
+    ct, nct = _ct(c)
     if stride == 1:
         out = pl.pallas_call(
             functools.partial(_dw_spatial_kernel, k=k),
-            grid=(n,),
+            grid=(nct, n),
             in_specs=[
                 pl.BlockSpec(
-                    (1, h + 2 * pad, w + 2 * pad, c),
-                    lambda i: (i, 0, 0, 0),
+                    (1, h + 2 * pad, w + 2 * pad, ct),
+                    lambda j, i: (i, 0, 0, j),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, k, ct), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, oh, ow, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
             interpret=INTERPRET,
@@ -117,15 +137,15 @@ def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     hh, wh = planes.shape[2], planes.shape[3]
     out = pl.pallas_call(
         functools.partial(_dw_spatial_s2_kernel, k=k),
-        grid=(n,),
+        grid=(nct, n),
         in_specs=[
             pl.BlockSpec(
-                (1, 4, hh, wh, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 4, hh, wh, ct), lambda j, i: (i, 0, 0, 0, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, ct), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, oh, ow, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         interpret=INTERPRET,
@@ -137,9 +157,13 @@ def _dw_spatial_fwd(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
 
 
 def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int):
-    """Stride-1 dL/dw accumulation: dw[di,dj] += sum(tap * dy) per slab."""
+    """Stride-1 dL/dw accumulation: dw[di,dj] += sum(tap * dy) per slab.
 
-    @pl.when(pl.program_id(0) == 0)
+    Grid is (channel_tiles, slabs) with slabs innermost, so each channel
+    tile's (k*k, ct) output block stays VMEM-resident across its slab loop.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
@@ -155,7 +179,7 @@ def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int):
 def _dw_spatial_dw_s2_kernel(x_ref, dy_ref, dw_ref, *, k: int):
     """Stride-2 dL/dw on parity planes (x_ref block (1, 4, Hh, Wh, C))."""
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
@@ -180,21 +204,22 @@ def _dw_spatial_grad_w(x, dy, k: int, stride: int):
     xp = xp.reshape(n, h + 2 * pad, w + 2 * pad, c)
     dyf = dy.reshape(n, oh, ow, c)
 
+    ct, nct = _ct(c)
     if stride == 1:
         dw = pl.pallas_call(
             functools.partial(_dw_spatial_dw_kernel, k=k),
-            grid=(n,),
+            grid=(nct, n),
             in_specs=[
                 pl.BlockSpec(
-                    (1, h + 2 * pad, w + 2 * pad, c),
-                    lambda i: (i, 0, 0, 0),
+                    (1, h + 2 * pad, w + 2 * pad, ct),
+                    lambda j, i: (i, 0, 0, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                    (1, oh, ow, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=pl.BlockSpec((k * k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((k * k, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k * k, c), jnp.float32),
             interpret=INTERPRET,
         )(xp, dyf)
@@ -204,14 +229,16 @@ def _dw_spatial_grad_w(x, dy, k: int, stride: int):
     hh, wh = planes.shape[2], planes.shape[3]
     dw = pl.pallas_call(
         functools.partial(_dw_spatial_dw_s2_kernel, k=k),
-        grid=(n,),
+        grid=(nct, n),
         in_specs=[
             pl.BlockSpec(
-                (1, 4, hh, wh, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 4, hh, wh, ct), lambda j, i: (i, 0, 0, 0, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, oh, ow, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((k * k, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((k * k, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k * k, c), jnp.float32),
         interpret=INTERPRET,
     )(planes, dyf)
@@ -271,15 +298,18 @@ def _dw_spatial_valid(xp: jax.Array, kernel: jax.Array) -> jax.Array:
     b, t, hp, wp, c = xp.shape
     oh, ow = hp - k + 1, wp - k + 1
     n = b * t
+    ct, nct = _ct(c)
     out = pl.pallas_call(
-        functools.partial(_dw_spatial_kernel, k=k, stride=1),
-        grid=(n,),
+        functools.partial(_dw_spatial_kernel, k=k),
+        grid=(nct, n),
         in_specs=[
-            pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, hp, wp, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((k, k, ct), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, oh, ow, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, oh, ow, ct), lambda j, i: (i, 0, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), xp.dtype),
         interpret=INTERPRET,
