@@ -61,6 +61,9 @@ def build():
                 "drop_rate": 0.4,
                 "drop_path_rate": 0.1,
                 "dtype": "bfloat16",
+                # A/B toggle: remat trades one extra forward of elementwise
+                # HBM traffic for ~4x less activation memory.
+                "remat": os.environ.get("SENSORIUM_REMAT", "1") != "0",
             },
         ),
         "loss": ("mice_poisson", {}),

@@ -10,19 +10,16 @@
 //   * assemble_stack_input — fused gather + canvas-pad + behavior/pupil
 //                            broadcast producing the (5, S, H', W') model
 //                            input in one pass (no intermediate copies)
-//   * assemble_batch       — multithreaded batch assembly over samples
 //
-// ctypes releases the GIL for the call, so Python-side thread pools scale
-// across cores; assemble_batch additionally threads internally so a single
-// caller saturates memory bandwidth.
+// ctypes releases the GIL for the call, so the Python-side loader thread
+// pool scales these per-sample entry points across cores (batch-level
+// parallelism lives in MiceDataLoader, which also owns mixing/collation).
 //
 // Build: make -C native  (g++ -O3 -march=native -shared -fPIC)
 
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
-#include <thread>
-#include <vector>
 
 extern "C" {
 
@@ -95,34 +92,6 @@ void assemble_stack_input(const float* video, int64_t vh, int64_t vw, int64_t vt
       std::fill(chan_ptr + j * plane, chan_ptr + (j + 1) * plane, src[idx[j]]);
     }
   }
-}
-
-// Batched variant: assemble `n` samples in parallel.  Per-sample pointers
-// and window indexes come as arrays; `threads` caps the worker count.
-void assemble_batch(const float** videos, const int64_t* vhs, const int64_t* vws,
-                    const int64_t* vts,
-                    const float** behaviors, const int64_t* bts,
-                    const float** pupils, const int64_t* pts,
-                    const int64_t* idx, int64_t s,
-                    int64_t out_h, int64_t out_w, float fill,
-                    float* out, int64_t n, int64_t threads) {
-  const int64_t sample_elems = 5 * s * out_h * out_w;
-  const int64_t workers =
-      std::max<int64_t>(1, std::min<int64_t>(threads, n));
-
-  std::vector<std::thread> pool;
-  pool.reserve(workers);
-  for (int64_t wkr = 0; wkr < workers; ++wkr) {
-    pool.emplace_back([&, wkr]() {
-      for (int64_t i = wkr; i < n; i += workers) {
-        assemble_stack_input(videos[i], vhs[i], vws[i], vts[i],
-                             behaviors[i], bts[i], pupils[i], pts[i],
-                             idx + i * s, s, out_h, out_w, fill,
-                             out + i * sample_elems);
-      }
-    });
-  }
-  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -137,6 +137,7 @@ class TrainMiceDataset:
         mouse_epoch_size: int,
         mixer: Mixer | None = None,
         seed: int = 0,
+        augmentations=None,
     ):
         assert [constants.mouse2index[d["mouse"]] for d in mice_data] == constants.mice_indexes
         self.stores = [
@@ -147,6 +148,12 @@ class TrainMiceDataset:
         self.mouse_epoch_size = mouse_epoch_size
         self.mixer = mixer
         self.seed = seed
+        # Per-sample input augmentation hook, ``(inputs, rng) -> inputs``
+        # (reference: the ``augmentations`` nn.Module applied in
+        # TrainMouseVideoDataset.get_sample_tensors, src/datasets.py:118-122
+        # — unused by the production configs but part of the API surface).
+        # Applied to mixer partners too, like the reference.
+        self.augmentations = augmentations
 
     def __len__(self) -> int:
         return constants.num_mice * self.mouse_epoch_size
@@ -155,7 +162,10 @@ class TrainMiceDataset:
         trial_index = int(rng.integers(len(store.trials)))
         length = store.trial_lengths[trial_index]
         anchor = int(rng.integers(store.indexer.behind, length - store.indexer.ahead))
-        return store.window_sample(trial_index, anchor)
+        inputs, target = store.window_sample(trial_index, anchor)
+        if self.augmentations is not None:
+            inputs = self.augmentations(inputs, rng)
+        return inputs, target
 
     def get(self, index: int, epoch: int = 0) -> tuple[int, np.ndarray, np.ndarray]:
         """Returns (mouse_index, input, target)."""

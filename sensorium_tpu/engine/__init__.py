@@ -13,6 +13,6 @@ from sensorium_tpu.engine.losses import (  # noqa: F401
     mice_poisson_loss,
 )
 from sensorium_tpu.engine.metrics import CorrelationMetric, corr  # noqa: F401
-from sensorium_tpu.engine.model import MouseModel, load_model, stage_iterations  # noqa: F401
+from sensorium_tpu.engine.model import MouseModel, load_model  # noqa: F401
 from sensorium_tpu.engine.schedule import cosine_annealing, warmup_cosine  # noqa: F401
 from sensorium_tpu.engine.state import TrainState  # noqa: F401

@@ -292,10 +292,3 @@ def load_model(file_path, mesh=None) -> MouseModel:
     return model
 
 
-def stage_iterations(config: dict, train_dataset_len: int) -> dict[str, int]:
-    """Per-stage iteration counts from the config's stage plan."""
-    iters_per_epoch = train_dataset_len // config["batch_size"]
-    return {
-        stage: iters_per_epoch * epochs
-        for stage, epochs in zip(config["stages"], config["num_epochs"])
-    }

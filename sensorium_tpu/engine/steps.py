@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from sensorium_tpu.engine.ema import ema_update
 from sensorium_tpu.engine.losses import mice_poisson_distill_loss
 from sensorium_tpu.engine.state import TrainState
 
@@ -120,14 +121,8 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
 
         if use_ema:
-            ema_params = jax.tree_util.tree_map(
-                lambda e, v: e * ema_decay + v * (1.0 - ema_decay), state.ema_params, params
-            )
-            ema_batch_stats = jax.tree_util.tree_map(
-                lambda e, v: e * ema_decay + v * (1.0 - ema_decay),
-                state.ema_batch_stats,
-                batch_stats,
-            )
+            ema_params = ema_update(state.ema_params, params, ema_decay)
+            ema_batch_stats = ema_update(state.ema_batch_stats, batch_stats, ema_decay)
         else:
             ema_params = state.ema_params
             ema_batch_stats = state.ema_batch_stats

@@ -232,6 +232,36 @@ class TestDistillationPipeline:
         assert get_best_model_path(student_dir) is not None
 
 
+class TestAugmentationsHook:
+    def test_per_sample_augmentation_applied(self, synth_env):
+        """The train dataset's augmentation hook (reference
+        src/datasets.py:118-122) transforms inputs before mixing."""
+        from sensorium_tpu.data.datasets import TrainMiceDataset
+        from sensorium_tpu.data.indexes import WindowIndexer
+        from sensorium_tpu.data.inputs import get_inputs_processor
+        from sensorium_tpu.data.responses import get_responses_processor
+
+        config = tiny_experiment_config()["argus_params"]
+        mice_data = [
+            mouse_data_mod.get_mouse_data(m, ["fold_1"]) for m in constants.mice
+        ]
+        common = dict(
+            indexer=WindowIndexer(**config["frame_stack"]),
+            inputs_processor=get_inputs_processor(*config["inputs_processor"]),
+            responses_processor=get_responses_processor(*config["responses_processor"]),
+            mouse_epoch_size=2,
+            seed=3,
+        )
+        plain = TrainMiceDataset(mice_data, **common)
+        augmented = TrainMiceDataset(
+            mice_data, augmentations=lambda inputs, rng: inputs * 2.0, **common
+        )
+        _, base_inputs, base_target = plain.get(0, epoch=0)
+        _, aug_inputs, aug_target = augmented.get(0, epoch=0)
+        np.testing.assert_allclose(aug_inputs, base_inputs * 2.0, rtol=1e-6)
+        np.testing.assert_allclose(aug_target, base_target, rtol=1e-6)
+
+
 class TestSubmissionCut:
     def test_cut_parity(self):
         x = np.arange(400, dtype=np.float32)[None].repeat(3, axis=0)
