@@ -61,9 +61,14 @@ def build():
                 "drop_rate": 0.4,
                 "drop_path_rate": 0.1,
                 "dtype": "bfloat16",
-                # A/B toggle: remat trades one extra forward of elementwise
-                # HBM traffic for ~4x less activation memory.
+                # A/B toggles: remat trades one extra forward of elementwise
+                # HBM traffic for ~4x less activation memory; remat_blocks
+                # limits it to the first k (high-res) blocks.  Measured
+                # ladder on v5e (clips/s): all=98.8, k=4: 104.7, k=3: 109.1,
+                # k=2: 111.8, k=1: 113.6, k=0: OOM.  Default matches the
+                # production config (k=2, ~1 GB headroom).
                 "remat": os.environ.get("SENSORIUM_REMAT", "1") != "0",
+                "remat_blocks": int(os.environ.get("SENSORIUM_REMAT_BLOCKS", "2")),
             },
         ),
         "loss": ("mice_poisson", {}),

@@ -44,6 +44,10 @@ config = dict(
                 "drop_rate": 0.4,
                 "drop_path_rate": 0.1,
                 "dtype": "bfloat16",
+                # Remat the first three blocks here (one more than
+                # true_batch_001): the frozen teacher's forward shares the
+                # chip during distillation, so keep extra HBM headroom.
+                "remat_blocks": 3,
             },
         ),
         "loss": ("mice_poisson", {"log_input": False, "full": False, "eps": 1e-8}),

@@ -50,6 +50,10 @@ config = dict(
                 "drop_rate": 0.4,
                 "drop_path_rate": 0.1,
                 "dtype": "bfloat16",
+                # Remat only the first two (highest-resolution) core blocks:
+                # measured fastest batch-32 setting that leaves ~1 GB HBM
+                # headroom on a 16 GB v5e chip (see bench.py ladder).
+                "remat_blocks": 2,
             },
         ),
         "loss": ("mice_poisson", {"log_input": False, "full": False, "eps": 1e-8}),

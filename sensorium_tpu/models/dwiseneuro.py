@@ -246,11 +246,16 @@ class DwiseNeuro(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     readout_pad_multiple: int = 128
-    # Rematerialize each core block in the backward pass: the inverted
+    # Rematerialize core blocks in the backward pass: the inverted
     # residuals' expanded activations (x7 channels at up to 64x64 spatial)
     # dominate training memory; recomputing them trades cheap VPU FLOPs for
     # ~4x less HBM, which is what lets global batch 32 fit a 16 GB chip.
+    # ``remat_blocks`` limits remat to the first k blocks (the
+    # high-resolution memory hogs); -1 remats all of them.  Late blocks run
+    # at <=16x16 spatial where storing intermediates is cheap, so skipping
+    # their recompute buys wall-clock at little memory cost.
     remat: bool = True
+    remat_blocks: int = -1
 
     @property
     def num_mice(self) -> int:
@@ -278,12 +283,17 @@ class DwiseNeuro(nn.Module):
         x = pointwise(x, w_stem.astype(self.dtype))
         x = BatchNormAct(features[0], act=False, dtype=self.dtype, name="stem_bn")(x, train)
 
-        block_cls = InvertedResidual3d
-        if self.remat:
-            # train is a static Python bool -> mark it static for checkpoint.
-            block_cls = nn.remat(InvertedResidual3d, static_argnums=(2,))
+        # train is a static Python bool -> mark it static for checkpoint.
+        # (A save-only-BN-stats checkpoint policy was A/B-measured neutral
+        # on v5e — XLA already fuses the stats reduce into the normalize
+        # recompute — so plain full-block remat is kept.)
+        remat_cls = nn.remat(InvertedResidual3d, static_argnums=(2,))
+        remat_limit = num_blocks if self.remat_blocks < 0 else self.remat_blocks
 
         for i in range(num_blocks):
+            block_cls = (
+                remat_cls if self.remat and i < remat_limit else InvertedResidual3d
+            )
             out_features = features[i + 1] if i + 1 < num_blocks else features[i]
             pe = position_encoding_3d(features[i], *x.shape[1:4])
             x = x + jnp.asarray(pe, dtype=x.dtype)

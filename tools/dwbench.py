@@ -1,0 +1,84 @@
+"""Microbenchmark: depthwise-conv lowerings at flagship block shapes.
+
+Compares, per core-block shape of the true_batch_001 DwiseNeuro:
+  chain   — silu(affine(x)) as XLA elementwise + XLA grouped conv (the
+            production default path, jitted as one function)
+  pallas  — the plain Pallas depthwise kernel after the same XLA prologue
+  fused   — the Pallas kernel with the affine+SiLU prologue fused in
+
+Run on real TPU: PYTHONPATH=. python tools/dwbench.py
+Prints one JSON line per (shape, impl) with milliseconds per call.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sensorium_tpu.ops import conv
+from sensorium_tpu.ops.pallas_dw import dw_spatial
+from sensorium_tpu.ops.pallas_fused import fused_bn_silu_dw_spatial
+
+# (B, T, H, W, C, stride) for the flagship core blocks (expanded channels).
+SHAPES = [
+    ("block0", (32, 16, 64, 64, 448, 2)),
+    ("block1-3", (32, 16, 32, 32, 448, 1)),
+    ("block4", (32, 16, 32, 32, 448, 2)),
+    ("block5-6", (32, 16, 16, 16, 896, 1)),
+    ("block7", (32, 16, 16, 16, 896, 2)),
+    ("block8", (32, 16, 8, 8, 1792, 1)),
+]
+K = 3
+ITERS = 30
+
+
+def timed(fn, *args) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    np.asarray(jax.device_get(out)).ravel()[:1]  # hard sync through tunnels
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    np.asarray(jax.device_get(out)).ravel()[:1]
+    return (time.perf_counter() - start) / ITERS * 1e3
+
+
+def main():
+    import os
+
+    os.environ.setdefault("SENSORIUM_DW_IMPL", "xla")
+    rng = np.random.default_rng(0)
+    for name, (b, t, h, w, c, stride) in SHAPES:
+        x = jnp.asarray(rng.normal(0, 1, (b, t, h, w, c)), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
+        shift = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
+        taps = jnp.asarray(rng.normal(0, 0.5, (K, K, c)), jnp.bfloat16)
+
+        @jax.jit
+        def chain(x, scale, shift, taps, stride=stride):
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            return conv.depthwise_conv_spatial(y, taps, stride=stride)
+
+        @jax.jit
+        def plain_pallas(x, scale, shift, taps, stride=stride):
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            return dw_spatial(y, taps, stride)
+
+        @jax.jit
+        def fused(x, scale, shift, taps, stride=stride):
+            return fused_bn_silu_dw_spatial(x, scale, shift, taps, stride)
+
+        for impl, fn in (("chain", chain), ("pallas", plain_pallas), ("fused", fused)):
+            try:
+                ms = timed(fn, x, scale, shift, taps)
+                print(json.dumps({"shape": name, "impl": impl, "ms": round(ms, 3)}))
+            except Exception as exc:  # noqa: BLE001 — report and continue
+                print(json.dumps({"shape": name, "impl": impl, "error": str(exc)[:160]}))
+
+
+if __name__ == "__main__":
+    main()
