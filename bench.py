@@ -35,15 +35,10 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
-def build():
-    import jax
-
+def _flagship_params() -> dict:
     from sensorium_tpu import constants
-    from sensorium_tpu.engine.losses import get_loss
-    from sensorium_tpu.engine.model import MouseModel
-    from sensorium_tpu.engine.steps import make_train_step, make_val_step
 
-    params = {
+    return {
         "nn_module": (
             "dwiseneuro",
             {
@@ -78,7 +73,14 @@ def build():
         "responses_processor": ("identity", {}),
         "iter_size": 1,
     }
-    model = MouseModel(params)
+
+
+def build():
+    from sensorium_tpu.engine.losses import get_loss
+    from sensorium_tpu.engine.model import MouseModel
+    from sensorium_tpu.engine.steps import make_train_step, make_val_step
+
+    model = MouseModel(_flagship_params())
     model.set_ema(0.999)
     state = model.build_state(seed=0, learning_rate=2.4e-3)
     train_step = make_train_step(
@@ -261,12 +263,73 @@ def measure_loader() -> dict:
     return results
 
 
+def measure_infer() -> dict:
+    """Batched sliding-window predictor throughput on one trial.
+
+    The reference runs T-30 sequential batch-1 forwards per trial
+    (predictors.py:46-54); the batched predictor gathers windows on-device
+    and forwards them in chunks — this measures blended frames/s and
+    window-forwards/s on the flagship model.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from sensorium_tpu.engine.model import MouseModel
+    from sensorium_tpu.infer.predictor import Predictor
+
+    model = MouseModel(_flagship_params())
+    model.build_state(seed=0, learning_rate=0.0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/model-001-0.000001.ckpt"
+        model.save(path)
+        predictor = Predictor(path, chunk_size=32)
+
+    rng = np.random.default_rng(0)
+    length = 300
+    video = rng.uniform(0, 255, (36, 64, length)).astype(np.float32)
+    behavior = rng.uniform(0, 5, (2, length)).astype(np.float32)
+    pupil = rng.uniform(50, 200, (2, length)).astype(np.float32)
+
+    predictor.predict_trial(video, behavior, pupil, mouse_index=0)  # compile
+    start = time.perf_counter()
+    trials = 3
+    for _ in range(trials):
+        out = predictor.predict_trial(video, behavior, pupil, mouse_index=0)
+    elapsed = time.perf_counter() - start
+    windows = len(predictor.indexes_generator.valid_anchors(length))
+    return {
+        "blended_frames_per_sec": round(trials * length / elapsed, 1),
+        "window_forwards_per_sec": round(trials * windows / elapsed, 1),
+        "trial_seconds": round(elapsed / trials, 3),
+        "prediction_shape": list(out.shape),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ab", action="store_true", help="A/B pallas vs xla dw impls")
     parser.add_argument("--loader", action="store_true", help="host loader throughput")
+    parser.add_argument("--infer", action="store_true", help="predictor throughput")
     parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     args = parser.parse_args()
+
+    if args.infer:
+        detail = measure_infer()
+        print(
+            json.dumps(
+                {
+                    "metric": "infer_window_forwards_per_sec",
+                    "value": detail["window_forwards_per_sec"],
+                    "unit": "windows/s",
+                    "vs_baseline": round(
+                        detail["window_forwards_per_sec"] / BASELINE_CLIPS_PER_SEC, 3
+                    ),
+                    "detail": detail,
+                }
+            )
+        )
+        return
 
     if args.loader:
         detail = measure_loader()

@@ -11,6 +11,8 @@ TPU-first differences:
   TP); default is batch-DP over all local devices;
 * ``--resume`` continues a fold from its ``train_state.ckpt`` (optimizer
   moments + RNG + step) — a capability the reference lacks;
+* SIGTERM (TPU-VM preemption warning) saves the full train state and exits
+  with code 75 (EX_TEMPFAIL); rerun with ``--resume`` to continue;
 * the data loader is the threaded mmap prefetcher, not worker processes.
 """
 
@@ -36,6 +38,7 @@ from sensorium_tpu.data.responses import get_responses_processor
 from sensorium_tpu.engine.callbacks import Checkpoint, LoggingToCSV, LoggingToFile, Timer
 from sensorium_tpu.engine.metrics import CorrelationMetric
 from sensorium_tpu.engine.model import MouseModel, load_model
+from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
 from sensorium_tpu.engine.schedule import warmup_cosine
 from sensorium_tpu.parallel.mesh import create_mesh
 from sensorium_tpu.utils import get_best_model_path, get_lr
@@ -166,19 +169,22 @@ def train_mouse(
         if skip >= num_epochs:
             print(f"Stage '{stage}' already completed, skipping")
             continue
-        model.fit(
-            train_loader,
-            val_loader=val_loader,
-            num_epochs=num_epochs - skip,
-            callbacks=callbacks,
-            metrics=[
-                CorrelationMetric(
-                    num_neurons=list(argus_params["nn_module"][1]["readout_outputs"])
-                )
-            ],
-            stage=stage,
-            start_epoch=stage_start + skip,
-        )
+        with PreemptionHandler() as preemption:
+            model.fit(
+                train_loader,
+                val_loader=val_loader,
+                num_epochs=num_epochs - skip,
+                callbacks=callbacks,
+                metrics=[
+                    CorrelationMetric(
+                        num_neurons=list(argus_params["nn_module"][1]["readout_outputs"])
+                    )
+                ],
+                stage=stage,
+                start_epoch=stage_start + skip,
+                preemption=preemption,
+                preemption_save_path=save_dir / "train_state.ckpt",
+            )
     return model
 
 
@@ -214,10 +220,14 @@ def main():
         val_splits = [fold_split]
         train_splits = sorted(set(constants.folds_splits) - set(val_splits))
         print(f"Val fold: {val_splits}, train folds: {train_splits}")
-        train_mouse(
-            config, fold_dir, train_splits, val_splits,
-            mesh=mesh, seed=args.seed, resume=args.resume,
-        )
+        try:
+            train_mouse(
+                config, fold_dir, train_splits, val_splits,
+                mesh=mesh, seed=args.seed, resume=args.resume,
+            )
+        except TrainingPreempted as preempted:
+            print(f"Preempted: {preempted}. Rerun with --resume to continue.")
+            raise SystemExit(75)  # EX_TEMPFAIL
 
 
 if __name__ == "__main__":

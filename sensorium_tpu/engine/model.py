@@ -28,6 +28,7 @@ from sensorium_tpu.engine.callbacks import Callback, EngineState, build_logger
 from sensorium_tpu.engine.losses import get_loss
 from sensorium_tpu.engine.metrics import CorrelationMetric
 from sensorium_tpu.engine.optimizers import get_optimizer
+from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
 from sensorium_tpu.engine.state import TrainState
 from sensorium_tpu.engine.steps import make_predict_step, make_train_step, make_val_step
 from sensorium_tpu.models.registry import get_nn_module
@@ -189,10 +190,31 @@ class MouseModel:
         metrics: Sequence[CorrelationMetric] = (),
         stage: str = "train",
         start_epoch: int = 0,
+        preemption: "PreemptionHandler | None" = None,
+        preemption_save_path=None,
     ) -> None:
+        """Run the train/val loop.
+
+        With ``preemption`` (a ``PreemptionHandler``) and
+        ``preemption_save_path`` set, a latched preemption signal saves the
+        full train state mid-epoch and raises ``TrainingPreempted``; resume
+        with ``cli/train.py --resume`` (the interrupted epoch restarts).
+        """
         if self.state is None:
             raise RuntimeError("Call build_state() before fit()")
         engine_state = EngineState(model=self, stage=stage, logger=self.logger)
+
+        def check_preempted():
+            if preemption is not None and preemption.triggered:
+                epoch_done = engine_state.global_epoch - 1
+                if preemption_save_path is not None:
+                    self.save_train_state(
+                        preemption_save_path, extra={"epoch": epoch_done}
+                    )
+                self.logger.info(
+                    f"Preemption signal: state saved (epoch {epoch_done} complete), exiting"
+                )
+                raise TrainingPreempted(preemption_save_path)
 
         for epoch in range(num_epochs):
             engine_state.epoch = epoch
@@ -206,6 +228,7 @@ class MouseModel:
             losses = []
             for batch in train_loader:
                 losses.append(self.train_step(batch))
+                check_preempted()
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             engine_state.metrics["train_loss"] = train_loss
 
@@ -278,10 +301,14 @@ def load_model(file_path, mesh=None) -> MouseModel:
     payload = ckpt.load_model_checkpoint(file_path)
     model = MouseModel(payload["params"], mesh=mesh)
     nn_state = payload["nn_state"]
+    # Commit the restored (host/NumPy) trees to device once: leaving them
+    # as np.ndarrays would re-upload ~0.7 GB on EVERY jitted call.
+    params = jax.device_put(nn_state["params"])
+    batch_stats = jax.device_put(nn_state.get("batch_stats", {}))
     model.state = TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=nn_state["params"],
-        batch_stats=nn_state.get("batch_stats", {}),
+        params=params,
+        batch_stats=batch_stats,
         opt_state=None,
         ema_params=None,
         ema_batch_stats=None,

@@ -10,10 +10,14 @@ for TPU throughput:
   each chunk's windows gathered **on device** from the trial tensor (one
   host->device transfer per trial instead of 16x-overlapping copies), and
   the model runs at batch ``chunk_size`` with one readout;
+* the whole trial — window gather, chunked forwards (``lax.scan``), and
+  the overlap/blend scatter-accumulation — is ONE jitted call; only the
+  final blended (N, T) response crosses back to host;
 * chunk size and trial length are bucketed so every trial reuses one of a
   handful of compiled executables (XLA static shapes);
-* the overlap accumulation (``responses[..., idx] += pred``) happens on
-  host in fp32, preserving the reference's blend math exactly.
+* blend math matches the reference exactly (numerator unweighted, the
+  denominator accumulates the per-position blend weights,
+  predictors.py:50-54), verified by the sequential-parity test.
 """
 
 from __future__ import annotations
@@ -64,23 +68,45 @@ class Predictor:
         self.length_bucket = length_bucket
         self._window_fns: dict[int, callable] = {}
 
-    def _windows_fn(self, mouse_index: int):
-        """Jitted: gather window batch from the trial tensor and forward."""
+    def _trial_fn(self, mouse_index: int):
+        """Jitted full-trial prediction: gather + scan forwards + blend."""
         if mouse_index not in self._window_fns:
             model = self.model.nn_module
+            num_neurons = model.readout_outputs[mouse_index]
+            blend = jnp.asarray(self.blend_weights)  # (S,)
 
             @jax.jit
-            def run(params, batch_stats, trial_inputs, windows):
-                # trial_inputs: (5, Tp, H, W); windows: (C, S) frame indexes.
-                gathered = jnp.take(trial_inputs, windows, axis=1)  # (5, C, S, H, W)
-                batch = jnp.transpose(gathered, (1, 0, 2, 3, 4))
-                prediction = model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    batch,
-                    mouse_index=mouse_index,
-                    train=False,
+            def run(params, batch_stats, trial_inputs, windows, valid):
+                # trial_inputs: (5, Tp, H, W); windows: (chunks, C, S) frame
+                # indexes; valid: (chunks, C) 1/0 rows (tail padding).
+                padded_len = trial_inputs.shape[1]
+
+                def body(carry, chunk):
+                    resp_acc, blend_acc = carry
+                    w, ok = chunk  # (C, S), (C,)
+                    gathered = jnp.take(trial_inputs, w, axis=1)  # (5, C, S, H, W)
+                    batch = jnp.transpose(gathered, (1, 0, 2, 3, 4))
+                    pred = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        batch,
+                        mouse_index=mouse_index,
+                        train=False,
+                    ).astype(jnp.float32)  # (C, N, S)
+                    pred = pred * ok[:, None, None]
+                    flat = w.reshape(-1)  # (C*S,)
+                    updates = jnp.transpose(pred, (1, 0, 2)).reshape(num_neurons, -1)
+                    resp_acc = resp_acc.at[:, flat].add(updates)
+                    blend_acc = blend_acc.at[flat].add(
+                        (blend[None, :] * ok[:, None]).reshape(-1)
+                    )
+                    return (resp_acc, blend_acc), None
+
+                init = (
+                    jnp.zeros((num_neurons, padded_len), jnp.float32),
+                    jnp.zeros((padded_len,), jnp.float32),
                 )
-                return prediction.astype(jnp.float32)  # (C, N, S)
+                (resp_acc, blend_acc), _ = jax.lax.scan(body, init, (windows, valid))
+                return resp_acc / jnp.clip(blend_acc, 1.0, None)
 
             self._window_fns[mouse_index] = run
         return self._window_fns[mouse_index]
@@ -98,42 +124,38 @@ class Predictor:
         length = video.shape[-1]
         gen = self.indexes_generator
         anchors = gen.valid_anchors(length)
-        windows = gen.windows(anchors)  # (A, S)
+        windows = gen.windows(anchors).astype(np.int32)  # (A, S)
 
-        # Pad the time axis to a bucket so XLA executables are reused across
-        # trials of similar length.
+        # Bucket the time axis AND the anchor count so XLA executables are
+        # reused across trials of similar length (the anchor padding is
+        # derived from the bucketed length, keeping one executable per
+        # bucket rather than per exact trial length).
         padded_len = _round_up(length, self.length_bucket)
         if padded_len > inputs.shape[1]:
             inputs = np.pad(inputs, ((0, 0), (0, padded_len - inputs.shape[1]), (0, 0), (0, 0)))
-        trial_inputs = jax.device_put(inputs)
-
-        num_neurons = self.model.nn_module.readout_outputs[mouse_index]
-        responses = np.zeros((num_neurons, length), dtype=np.float32)
-        blend_acc = np.zeros(length, np.float32)
-        run = self._windows_fn(mouse_index)
-        variables = self.model.state
-
         chunk = self.chunk_size
-        for start in range(0, len(anchors), chunk):
-            chunk_windows = windows[start : start + chunk]
-            valid = chunk_windows.shape[0]
-            if valid < chunk:  # pad the tail chunk, ignore its extra rows
-                pad_rows = np.repeat(chunk_windows[-1:], chunk - valid, axis=0)
-                chunk_windows = np.concatenate([chunk_windows, pad_rows], axis=0)
-            prediction = np.asarray(
-                run(
-                    variables.eval_params,
-                    variables.eval_batch_stats,
-                    trial_inputs,
-                    jnp.asarray(chunk_windows),
-                )
-            )[:valid]
-            for row in range(valid):
-                idx = windows[start + row]
-                responses[:, idx] += prediction[row]
-                blend_acc[idx] += self.blend_weights
-        responses /= np.clip(blend_acc, 1.0, None)
-        return responses
+        max_anchors = len(gen.valid_anchors(padded_len))
+        padded_anchors = _round_up(max_anchors, chunk)
+        pad_rows = padded_anchors - windows.shape[0]
+        valid = np.zeros(padded_anchors, np.float32)
+        valid[: windows.shape[0]] = 1.0
+        if pad_rows:
+            windows = np.concatenate(
+                [windows, np.repeat(windows[-1:], pad_rows, axis=0)], axis=0
+            )
+
+        run = self._trial_fn(mouse_index)
+        variables = self.model.state
+        responses = np.asarray(
+            run(
+                variables.eval_params,
+                variables.eval_batch_stats,
+                jax.device_put(inputs),
+                jnp.asarray(windows.reshape(-1, chunk, windows.shape[-1])),
+                jnp.asarray(valid.reshape(-1, chunk)),
+            )
+        )
+        return responses[:, :length]
 
     def predict_trial_data(self, trial_data: dict, mouse_index: int) -> np.ndarray:
         """Predict from a trial-catalog entry (predict.py:24-36 parity)."""

@@ -55,13 +55,23 @@ def _ct(c: int) -> tuple[int, int]:
 
 
 def _dw_spatial_kernel(x_ref, w_ref, out_ref, *, k: int):
-    """One (b, t) slab: stride-1 valid conv of (Hp, Wp, C) with (k, k, C)."""
-    x = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C)
+    """One (b, t) slab: stride-1 valid conv of (Hp, Wp, C) with (k, k, C).
+
+    The W (sublane) shifts are hoisted: k shifted copies are materialized
+    once, then the H taps index the (untiled) H axis for free — k sublane
+    rotations total instead of k*k.
+    """
+    x = x_ref[0]  # (Hp, Wp, C)
+    hp, c = x.shape[0], x.shape[-1]
     oh, ow = out_ref.shape[1], out_ref.shape[2]
-    acc = jnp.zeros((oh, ow, x.shape[-1]), jnp.float32)
+    cols = [
+        jax.lax.slice(x, (0, dj, 0), (hp, dj + ow, c)).astype(jnp.float32)
+        for dj in range(k)
+    ]
+    acc = jnp.zeros((oh, ow, c), jnp.float32)
     for di in range(k):
         for dj in range(k):
-            tap = jax.lax.slice(x, (di, dj, 0), (di + oh, dj + ow, x.shape[-1]))
+            tap = jax.lax.slice(cols[dj], (di, 0, 0), (di + oh, ow, c))
             acc = acc + tap * w_ref[di, dj].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -74,17 +84,20 @@ def _dw_spatial_s2_kernel(x_ref, w_ref, out_ref, *, k: int):
       y[i,j] = sum_{r,s} sum_{a,b} w[2a+r, 2b+s] * P[r,s][i+a, j+b].
     x_ref block: (1, 4, Hh, Wh, C) with plane index (r * 2 + s).
     """
-    x = x_ref[0].astype(jnp.float32)  # (4, Hh, Wh, C)
+    x = x_ref[0]  # (4, Hh, Wh, C)
+    hh, c = x.shape[1], x.shape[-1]
     oh, ow = out_ref.shape[1], out_ref.shape[2]
-    acc = jnp.zeros((oh, ow, x.shape[-1]), jnp.float32)
+    acc = jnp.zeros((oh, ow, c), jnp.float32)
     for r in range(2):
         for s in range(2):
             plane = x[r * 2 + s]
-            for a in range((k - r + 1) // 2):
-                for b in range((k - s + 1) // 2):
-                    tap = jax.lax.slice(
-                        plane, (a, b, 0), (a + oh, b + ow, plane.shape[-1])
-                    )
+            for b in range((k - s + 1) // 2):
+                # One sublane shift per (parity, b); H taps are free.
+                col = jax.lax.slice(plane, (0, b, 0), (hh, b + ow, c)).astype(
+                    jnp.float32
+                )
+                for a in range((k - r + 1) // 2):
+                    tap = jax.lax.slice(col, (a, 0, 0), (a + oh, ow, c))
                     acc = acc + tap * w_ref[2 * a + r, 2 * b + s].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -167,12 +180,14 @@ def _dw_spatial_dw_kernel(x_ref, dy_ref, dw_ref, *, k: int):
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C)
+    x = x_ref[0]  # (Hp, Wp, C)
+    hp, c = x.shape[0], x.shape[-1]
     dy = dy_ref[0].astype(jnp.float32)  # (OH, OW, C)
     oh, ow = dy.shape[0], dy.shape[1]
-    for di in range(k):
-        for dj in range(k):
-            tap = jax.lax.slice(x, (di, dj, 0), (di + oh, dj + ow, x.shape[-1]))
+    for dj in range(k):
+        col = jax.lax.slice(x, (0, dj, 0), (hp, dj + ow, c)).astype(jnp.float32)
+        for di in range(k):
+            tap = jax.lax.slice(col, (di, 0, 0), (di + oh, ow, c))
             dw_ref[di * k + dj] += jnp.sum(tap * dy, axis=(0, 1))
 
 
@@ -183,16 +198,19 @@ def _dw_spatial_dw_s2_kernel(x_ref, dy_ref, dw_ref, *, k: int):
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    x = x_ref[0].astype(jnp.float32)  # (4, Hh, Wh, C)
+    x = x_ref[0]  # (4, Hh, Wh, C)
+    hh, c = x.shape[1], x.shape[-1]
     dy = dy_ref[0].astype(jnp.float32)  # (OH, OW, C)
     oh, ow = dy.shape[0], dy.shape[1]
-    for di in range(k):
-        for dj in range(k):
-            a, r = di // 2, di % 2
-            b, s = dj // 2, dj % 2
+    for dj in range(k):
+        b, s = dj // 2, dj % 2
+        for r in range(2):
             plane = x[r * 2 + s]
-            tap = jax.lax.slice(plane, (a, b, 0), (a + oh, b + ow, plane.shape[-1]))
-            dw_ref[di * k + dj] += jnp.sum(tap * dy, axis=(0, 1))
+            col = jax.lax.slice(plane, (0, b, 0), (hh, b + ow, c)).astype(jnp.float32)
+            for a in range((k - r + 1) // 2):
+                di = 2 * a + r
+                tap = jax.lax.slice(col, (a, 0, 0), (a + oh, ow, c))
+                dw_ref[di * k + dj] += jnp.sum(tap * dy, axis=(0, 1))
 
 
 def _dw_spatial_grad_w(x, dy, k: int, stride: int):

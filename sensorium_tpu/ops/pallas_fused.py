@@ -54,16 +54,23 @@ def _silu(x):
 
 
 def _fused_spatial_kernel(x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: int):
-    """silu(x * scale + shift) convolved stride-1 'valid' over (H, W)."""
+    """silu(x * scale + shift) convolved stride-1 'valid' over (H, W).
+
+    W (sublane) shifts are hoisted out of the tap loop (see
+    pallas_dw._dw_spatial_kernel); the prologue is computed once per
+    shifted copy, H taps index the untiled H axis for free.
+    """
     x = x_ref[...].astype(jnp.float32)  # (S, Hp, Wp, C)
     x = _silu(x * scale_ref[0].astype(jnp.float32) + shift_ref[0].astype(jnp.float32))
+    s_dim, hp, _, c = x.shape
     oh, ow = out_ref.shape[1], out_ref.shape[2]
+    cols = [
+        jax.lax.slice(x, (0, 0, dj, 0), (s_dim, hp, dj + ow, c)) for dj in range(k)
+    ]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for di in range(k):
         for dj in range(k):
-            tap = jax.lax.slice(
-                x, (0, di, dj, 0), (x.shape[0], di + oh, dj + ow, x.shape[-1])
-            )
+            tap = jax.lax.slice(cols[dj], (0, di, 0, 0), (s_dim, di + oh, ow, c))
             acc = acc + tap * w_ref[di, dj].astype(jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
@@ -72,18 +79,16 @@ def _fused_spatial_s2_kernel(x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: 
     """Stride-2 via parity planes (see pallas_dw._dw_spatial_s2_kernel)."""
     x = x_ref[...].astype(jnp.float32)  # (S, 4, Hh, Wh, C)
     x = _silu(x * scale_ref[0].astype(jnp.float32) + shift_ref[0].astype(jnp.float32))
+    s_dim, _, hh, _, c = x.shape
     oh, ow = out_ref.shape[1], out_ref.shape[2]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for r in range(2):
         for s in range(2):
             plane = x[:, r * 2 + s]
-            for a in range((k - r + 1) // 2):
-                for b in range((k - s + 1) // 2):
-                    tap = jax.lax.slice(
-                        plane,
-                        (0, a, b, 0),
-                        (plane.shape[0], a + oh, b + ow, plane.shape[-1]),
-                    )
+            for b in range((k - s + 1) // 2):
+                col = jax.lax.slice(plane, (0, 0, b, 0), (s_dim, hh, b + ow, c))
+                for a in range((k - r + 1) // 2):
+                    tap = jax.lax.slice(col, (0, a, 0, 0), (s_dim, a + oh, ow, c))
                     acc = acc + tap * w_ref[2 * a + r, 2 * b + s].astype(jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 

@@ -309,6 +309,35 @@ class TestMouseModelFit:
             losses[iter_size] = float(model.train_step(batch))
         assert losses[1] == pytest.approx(losses[2], rel=0.05)
 
+    def test_preemption_saves_state_and_raises(self, tmp_path):
+        """A latched preemption signal saves mid-fit state for --resume."""
+        from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        rng = np.random.default_rng(3)
+        loader = FakeLoader([random_batch(rng) for _ in range(3)])
+        save_path = tmp_path / "train_state.ckpt"
+
+        with PreemptionHandler() as handler:
+            handler.triggered = True  # simulate SIGTERM delivery
+            with pytest.raises(TrainingPreempted):
+                model.fit(
+                    loader,
+                    num_epochs=2,
+                    start_epoch=4,
+                    preemption=handler,
+                    preemption_save_path=save_path,
+                )
+        assert save_path.exists()
+
+        resumed = MouseModel(tiny_params())
+        resumed.build_state(seed=9, learning_rate=1e-3)
+        extra = resumed.load_train_state(save_path)
+        # Epoch 4 was interrupted -> recorded as "completed through 3".
+        assert extra["epoch"] == 3
+        assert int(jax.device_get(resumed.state.step)) == 1
+
     def test_train_state_resume_roundtrip(self, tmp_path):
         model = MouseModel(tiny_params())
         model.set_ema(0.9)

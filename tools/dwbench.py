@@ -36,14 +36,18 @@ K = 3
 ITERS = 30
 
 
+def _sync(out) -> float:
+    """Drain device work fetching only a scalar (tunnel-safe)."""
+    return float(jax.device_get(jnp.mean(out.astype(jnp.float32))))
+
+
 def timed(fn, *args) -> float:
     out = fn(*args)
-    jax.block_until_ready(out)
-    np.asarray(jax.device_get(out)).ravel()[:1]  # hard sync through tunnels
+    _sync(out)  # compile + hard sync
     start = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
-    np.asarray(jax.device_get(out)).ravel()[:1]
+    _sync(out)
     return (time.perf_counter() - start) / ITERS * 1e3
 
 
