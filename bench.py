@@ -314,6 +314,10 @@ def main():
     parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     args = parser.parse_args()
 
+    from sensorium_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.infer:
         detail = measure_infer()
         print(

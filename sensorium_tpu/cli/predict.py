@@ -72,6 +72,9 @@ def predict_unlabeled_split(
 
 
 def main():
+    from sensorium_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_arguments()
     if args.split == "folds":
         predict_folds(args.experiment, args.dataset, args.chunk_size)

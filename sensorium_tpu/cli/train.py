@@ -189,6 +189,9 @@ def train_mouse(
 
 
 def main():
+    from sensorium_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_arguments()
     print("Experiment:", args.experiment)
 

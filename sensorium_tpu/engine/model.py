@@ -90,29 +90,46 @@ class MouseModel:
         self._train_step = None
 
     def build_state(self, seed: int = 0, learning_rate=None) -> TrainState:
-        """Initialize parameters, optimizer and (optional) EMA trees."""
-        init_rng, train_rng = jax.random.split(jax.random.PRNGKey(seed))
-        variables = self.nn_module.init(
-            {"params": init_rng, "dropout": init_rng}, self.example_input(), train=False
-        )
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
+        """Initialize parameters, optimizer and (optional) EMA trees.
 
+        The whole construction runs as two jitted calls (init+optimizer,
+        then the EMA copy) rather than eager op-by-op: flax ``init`` plus
+        ``tx.init`` otherwise dispatch thousands of individual device ops —
+        minutes over a remote-execution tunnel — and jitting also makes the
+        init hit the persistent compilation cache.
+        """
         opt_name, opt_params = self.optimizer_spec
         self.schedule = learning_rate if callable(learning_rate) else None
         self.tx = get_optimizer(opt_name, opt_params, learning_rate=learning_rate)
-        opt_state = self.tx.init(params)
+
+        @jax.jit
+        def make(example):
+            init_rng, train_rng = jax.random.split(jax.random.PRNGKey(seed))
+            variables = self.nn_module.init(
+                {"params": init_rng, "dropout": init_rng}, example, train=False
+            )
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            return params, batch_stats, self.tx.init(params), train_rng
+
+        params, batch_stats, opt_state, train_rng = make(self.example_input())
 
         use_ema = self.ema_decay > 0.0
+        ema_params = ema_batch_stats = None
+        if use_ema:
+            # Separate jit call so the EMA buffers never alias the live
+            # params (the donated train step requires distinct buffers).
+            copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+            ema_params = copy_tree(params)
+            ema_batch_stats = copy_tree(batch_stats)
+
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
-            ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
-            ema_batch_stats=(
-                jax.tree_util.tree_map(jnp.copy, batch_stats) if use_ema else None
-            ),
+            ema_params=ema_params,
+            ema_batch_stats=ema_batch_stats,
             rng=train_rng,
         )
         if self.mesh is not None:

@@ -22,6 +22,7 @@ for TPU throughput:
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 import jax
@@ -55,8 +56,16 @@ class Predictor:
         blend_weights: str = "ones",
         chunk_size: int = 32,
         length_bucket: int = 64,
+        mesh=None,
     ):
-        self.model = load_model(model_path)
+        """``mesh``: optional ``jax.sharding.Mesh`` — the chunk batch is
+        sharded over its ``data`` axis (weights replicated), so each chunk's
+        ``chunk_size`` window forwards spread across the mesh devices
+        (SURVEY §5 long-context lever: shard the sliding-window loop).
+        ``chunk_size`` must then be a multiple of the data-axis size.
+        """
+        self.mesh = mesh
+        self.model = load_model(model_path, mesh=mesh)
         params = self.model.params
         self.inputs_processor = get_inputs_processor(*params["inputs_processor"])
         frame_stack = params["frame_stack"]
@@ -75,7 +84,18 @@ class Predictor:
             num_neurons = model.readout_outputs[mouse_index]
             blend = jnp.asarray(self.blend_weights)  # (S,)
 
-            @jax.jit
+            jit_kwargs = {}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                chunked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                jit_kwargs = dict(
+                    in_shardings=(rep, rep, rep, chunked, chunked),
+                    out_shardings=rep,
+                )
+
+            @functools.partial(jax.jit, **jit_kwargs)
             def run(params, batch_stats, trial_inputs, windows, valid):
                 # trial_inputs: (5, Tp, H, W); windows: (chunks, C, S) frame
                 # indexes; valid: (chunks, C) 1/0 rows (tail padding).

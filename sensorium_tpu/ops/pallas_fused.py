@@ -18,6 +18,17 @@ BatchNorm needs — the stats pass over the conv output also disappears.
 Layout/tiling follow ``ops/pallas_dw.py``: channels-last ``(B, T, H, W,
 C)``, channel-tiled grid to respect scoped VMEM, multiple (b, t) slabs per
 grid step to amortize grid overhead.
+
+Measured verdict (tools/dwbench.py, TPU v5e, flagship shapes): the fused
+kernel LOSES to the unfused XLA chain (e.g. block1 12.1 ms vs 6.3 ms;
+block0 stride-2 39.6 vs 13.3) despite halving HBM passes on paper.  The
+loss is structural for this formulation: the (W, C) VMEM tile pads W=34
+to the 16-sublane granularity (~40% wasted lanes on every vector op),
+stride 2 pays an extra parity-split materialization, and the per-tap
+vector work runs on the VPU while XLA's conv emitter uses its internal
+layout.  Hoisting the sublane shifts (k copies instead of k*k) measured
+neutral — Mosaic already CSEs them.  Kept as a correct, parity-tested
+substrate; the production path stays on the XLA lowering (ops/conv.py).
 """
 
 from __future__ import annotations

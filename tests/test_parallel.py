@@ -141,6 +141,31 @@ class TestTensorParallel:
         assert np.isfinite(loss1) and np.isfinite(loss2)
 
 
+class TestShardedPredictor:
+    def test_mesh_predictor_matches_single_device(self, mesh, tmp_path):
+        """Chunk batches sharded over the data axis blend identically."""
+        from sensorium_tpu.infer.predictor import Predictor
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        path = tmp_path / "model-001-0.100000.ckpt"
+        model.save(path)
+
+        rng = np.random.default_rng(4)
+        length = 24
+        video = rng.uniform(0, 255, (12, 16, length)).astype(np.float32)
+        behavior = rng.uniform(0, 5, (2, length)).astype(np.float32)
+        pupil = rng.uniform(50, 200, (2, length)).astype(np.float32)
+
+        plain = Predictor(path, chunk_size=8).predict_trial(
+            video, behavior, pupil, mouse_index=1
+        )
+        sharded = Predictor(path, chunk_size=8, mesh=mesh).predict_trial(
+            video, behavior, pupil, mouse_index=1
+        )
+        np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-6)
+
+
 class TestDryrun:
     def test_dryrun_multichip(self, capsys):
         import __graft_entry__ as graft

@@ -76,7 +76,29 @@ def main():
         def fused(x, scale, shift, taps, stride=stride):
             return fused_bn_silu_dw_spatial(x, scale, shift, taps, stride)
 
-        for impl, fn in (("chain", chain), ("pallas", plain_pallas), ("fused", fused)):
+        @jax.jit
+        def chain2d(x, scale, shift, taps, stride=stride):
+            """Same chain but as a true 2D conv over (B*T, H, W, C)."""
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            bb, tt, hh, ww, cc = y.shape
+            y = y.reshape(bb * tt, hh, ww, cc)
+            pad = K // 2
+            out = jax.lax.conv_general_dilated(
+                y,
+                taps.reshape(K, K, 1, cc),
+                window_strides=(stride, stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=cc,
+            )
+            return out.reshape(bb, tt, out.shape[1], out.shape[2], cc)
+
+        for impl, fn in (
+            ("chain", chain),
+            ("chain2d", chain2d),
+            ("pallas", plain_pallas),
+            ("fused", fused),
+        ):
             try:
                 ms = timed(fn, x, scale, shift, taps)
                 print(json.dumps({"shape": name, "impl": impl, "ms": round(ms, 3)}))
