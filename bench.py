@@ -53,8 +53,11 @@ def _flagship_params() -> dict:
                 "cortex_features": (1024, 2048, 4096),
                 "groups": 2,
                 "softplus_beta": 0.07,
-                "drop_rate": 0.4,
-                "drop_path_rate": 0.1,
+                # Diagnostic-only toggle (SENSORIUM_BENCH_NODROP=1):
+                # quantifies the dropout/droppath RNG cost; the shipped
+                # recipe always trains with the reference's rates.
+                "drop_rate": 0.0 if os.environ.get("SENSORIUM_BENCH_NODROP") else 0.4,
+                "drop_path_rate": 0.0 if os.environ.get("SENSORIUM_BENCH_NODROP") else 0.1,
                 "dtype": "bfloat16",
                 # A/B toggles: remat trades one extra forward of elementwise
                 # HBM traffic for ~4x less activation memory; remat_blocks

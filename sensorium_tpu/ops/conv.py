@@ -7,11 +7,14 @@ spatial depthwise (1,k,k), and temporal depthwise (k,1,1) pieces
 * pointwise convs are plain matmuls over the channel (lane) axis — they go
   straight to the MXU via ``dot_general``;
 * depthwise convs carry negligible FLOPs and are HBM-bandwidth-bound.
-  Two lowerings are provided and were A/B-measured on TPU v5e at the
-  flagship training shapes (see ``_dw_implementation``): XLA's
-  ``conv_general_dilated`` with ``feature_group_count=C`` (default — XLA
-  fuses the surrounding BN/SiLU elementwise work into it) and hand-written
-  Pallas kernels (``ops/pallas_dw.py``, opt-in);
+  FIVE lowerings were measured on TPU v5e at the flagship training shapes
+  (tools/dwbench.py; block1 fwd chain ms): XLA grouped 3-D conv **6.1**
+  (default), true-2D conv over (B*T) batch 8.2, XLA-fused shifted
+  multiply-adds 10.0, Pallas tap kernels 8.5 (ops/pallas_dw.py, opt-in via
+  SENSORIUM_DW_IMPL=pallas), Pallas with fused BN+SiLU prologue 12.1
+  (ops/pallas_fused.py).  The XLA conv emitter wins at every block shape;
+  it still runs at only ~30-50% of the bandwidth roofline, so a future
+  Mosaic-layout-aware kernel remains the main known headroom;
 * grouped 1x1 convs (cortex / readouts) are block-diagonal matmuls,
   expressed as an einsum with an explicit group axis.
 

@@ -93,9 +93,32 @@ def main():
             )
             return out.reshape(bb, tt, out.shape[1], out.shape[2], cc)
 
+        @jax.jit
+        def chainshift(x, scale, shift, taps, stride=stride):
+            """Chain with the conv as XLA-fused shifted multiply-adds."""
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            pad = K // 2
+            yp = jnp.pad(y, ((0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0)))
+            hh, ww = y.shape[2], y.shape[3]
+            oh = (hh + 2 * pad - K) // stride + 1
+            ow = (ww + 2 * pad - K) // stride + 1
+            acc = jnp.zeros(y.shape[:2] + (oh, ow, y.shape[-1]), jnp.float32)
+            for di in range(K):
+                for dj in range(K):
+                    tap = jax.lax.slice(
+                        yp,
+                        (0, 0, di, dj, 0),
+                        (y.shape[0], y.shape[1], di + (oh - 1) * stride + 1,
+                         dj + (ow - 1) * stride + 1, y.shape[-1]),
+                        (1, 1, stride, stride, 1),
+                    )
+                    acc = acc + tap.astype(jnp.float32) * taps[di, dj].astype(jnp.float32)
+            return acc.astype(x.dtype)
+
         for impl, fn in (
             ("chain", chain),
             ("chain2d", chain2d),
+            ("chainshift", chainshift),
             ("pallas", plain_pallas),
             ("fused", fused),
         ):
