@@ -36,46 +36,32 @@ MEASURE_STEPS = 10
 
 
 def _flagship_params() -> dict:
-    from sensorium_tpu import constants
+    """The production true_batch_001 argus params, loaded from the config
+    (single source of truth — the bench measures exactly what training
+    runs), with diagnostic env overrides:
 
-    return {
-        "nn_module": (
-            "dwiseneuro",
-            {
-                "readout_outputs": constants.num_neurons,
-                "in_channels": 5,
-                "core_features": (64, 64, 64, 64, 128, 128, 128, 256, 256),
-                "spatial_strides": (2, 1, 1, 1, 2, 1, 1, 2, 1),
-                "spatial_kernel": 3,
-                "temporal_kernel": 5,
-                "expansion_ratio": 7,
-                "se_reduce_ratio": 32,
-                "cortex_features": (1024, 2048, 4096),
-                "groups": 2,
-                "softplus_beta": 0.07,
-                # Diagnostic-only toggle (SENSORIUM_BENCH_NODROP=1):
-                # quantifies the dropout/droppath RNG cost; the shipped
-                # recipe always trains with the reference's rates.
-                "drop_rate": 0.0 if os.environ.get("SENSORIUM_BENCH_NODROP") else 0.4,
-                "drop_path_rate": 0.0 if os.environ.get("SENSORIUM_BENCH_NODROP") else 0.1,
-                "dtype": "bfloat16",
-                # A/B toggles: remat trades one extra forward of elementwise
-                # HBM traffic for ~4x less activation memory; remat_blocks
-                # limits it to the first k (high-res) blocks.  Measured
-                # ladder on v5e (clips/s): all=98.8, k=4: 104.7, k=3: 109.1,
-                # k=2: 111.8, k=1: 113.6, k=0: OOM.  Default matches the
-                # production config (k=2, ~1 GB headroom).
-                "remat": os.environ.get("SENSORIUM_REMAT", "1") != "0",
-                "remat_blocks": int(os.environ.get("SENSORIUM_REMAT_BLOCKS", "2")),
-            },
-        ),
-        "loss": ("mice_poisson", {}),
-        "optimizer": ("AdamW", {"lr": 2.4e-3, "weight_decay": 0.05}),
-        "frame_stack": {"size": FRAMES, "step": 2, "position": "last"},
-        "inputs_processor": ("stack_inputs", {"size": (HEIGHT, WIDTH), "pad_fill_value": 0.0}),
-        "responses_processor": ("identity", {}),
-        "iter_size": 1,
-    }
+    * SENSORIUM_REMAT=0 / SENSORIUM_REMAT_BLOCKS=k — remat A/B.  Measured
+      ladder on v5e (clips/s): all=98.8, k=4: 104.7, k=3: 109.1,
+      k=2: 111.8 (shipped default, ~1 GB headroom), k=1: 113.6, k=0: OOM.
+    * SENSORIUM_BENCH_NODROP=1 — dropout/droppath cost probe.
+    """
+    from importlib.machinery import SourceFileLoader
+    from pathlib import Path
+
+    config_path = Path(__file__).parent / "configs" / "true_batch_001.py"
+    params = SourceFileLoader("true_batch_001", str(config_path)).load_module().config[
+        "argus_params"
+    ]
+    nn_name, nn_kwargs = params["nn_module"]
+    nn_kwargs = dict(nn_kwargs)
+    nn_kwargs["remat"] = os.environ.get("SENSORIUM_REMAT", "1") != "0"
+    if os.environ.get("SENSORIUM_REMAT_BLOCKS"):
+        nn_kwargs["remat_blocks"] = int(os.environ["SENSORIUM_REMAT_BLOCKS"])
+    if os.environ.get("SENSORIUM_BENCH_NODROP"):
+        nn_kwargs["drop_rate"] = 0.0
+        nn_kwargs["drop_path_rate"] = 0.0
+    params = dict(params, nn_module=(nn_name, nn_kwargs))
+    return params
 
 
 def build():

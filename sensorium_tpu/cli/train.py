@@ -150,26 +150,28 @@ def train_mouse(
         print(f"Resumed from epoch {start_epoch}")
 
     save_dir.mkdir(parents=True, exist_ok=True)
-    for num_epochs, stage in zip(config["num_epochs"], config["stages"]):
-        callbacks = [
-            LoggingToFile(save_dir / "log.txt", append=True),
-            LoggingToCSV(save_dir / "log.csv", append=True),
-            Timer(),
-        ]
-        if stage != "warmup":
-            callbacks.append(
-                Checkpoint(
-                    save_dir,
-                    file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
-                    max_saves=1,
+    # One handler spans all stages: a signal latched near a stage boundary
+    # must not be lost when a per-stage handler scope ends.
+    with PreemptionHandler() as preemption:
+        for num_epochs, stage in zip(config["num_epochs"], config["stages"]):
+            callbacks = [
+                LoggingToFile(save_dir / "log.txt", append=True),
+                LoggingToCSV(save_dir / "log.csv", append=True),
+                Timer(),
+            ]
+            if stage != "warmup":
+                callbacks.append(
+                    Checkpoint(
+                        save_dir,
+                        file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
+                        max_saves=1,
+                    )
                 )
-            )
-        stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
-        skip = max(0, start_epoch - stage_start)
-        if skip >= num_epochs:
-            print(f"Stage '{stage}' already completed, skipping")
-            continue
-        with PreemptionHandler() as preemption:
+            stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
+            skip = max(0, start_epoch - stage_start)
+            if skip >= num_epochs:
+                print(f"Stage '{stage}' already completed, skipping")
+                continue
             model.fit(
                 train_loader,
                 val_loader=val_loader,

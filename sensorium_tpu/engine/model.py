@@ -221,9 +221,11 @@ class MouseModel:
             raise RuntimeError("Call build_state() before fit()")
         engine_state = EngineState(model=self, stage=stage, logger=self.logger)
 
-        def check_preempted():
+        def check_preempted(epochs_behind: int = 1):
+            """``epochs_behind=1`` mid-epoch (redo it on resume); ``0`` once
+            the epoch's callbacks (incl. checkpointing) have completed."""
             if preemption is not None and preemption.triggered:
-                epoch_done = engine_state.global_epoch - 1
+                epoch_done = engine_state.global_epoch - epochs_behind
                 if preemption_save_path is not None:
                     self.save_train_state(
                         preemption_save_path, extra={"epoch": epoch_done}
@@ -265,6 +267,7 @@ class MouseModel:
                 )
                 for metric in metrics:
                     engine_state.metrics.update(metric.epoch_metrics(prefix="val_"))
+                check_preempted()  # a signal during validation must not be lost
 
             lr = self._current_lr()
             if lr is not None:
@@ -275,6 +278,10 @@ class MouseModel:
             )
             for callback in callbacks:
                 callback.epoch_complete(engine_state)
+            # Epoch fully committed (incl. checkpoint callbacks): a latched
+            # signal exits here rather than silently surviving fit() return
+            # (the caller's handler scope may end with this stage).
+            check_preempted(epochs_behind=0)
             if engine_state.stopped:
                 break
 

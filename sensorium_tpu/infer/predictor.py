@@ -144,6 +144,11 @@ class Predictor:
         length = video.shape[-1]
         gen = self.indexes_generator
         anchors = gen.valid_anchors(length)
+        num_neurons = self.model.nn_module.readout_outputs[mouse_index]
+        if len(anchors) == 0:
+            # Trial shorter than one window: the reference's loop runs zero
+            # iterations and the blend denominator clips to 1 -> zeros.
+            return np.zeros((num_neurons, length), np.float32)
         windows = gen.windows(anchors).astype(np.int32)  # (A, S)
 
         # Bucket the time axis AND the anchor count so XLA executables are

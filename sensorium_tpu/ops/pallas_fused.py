@@ -65,15 +65,22 @@ def _silu(x):
 
 
 def _fused_spatial_kernel(x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: int):
-    """silu(x * scale + shift) convolved stride-1 'valid' over (H, W).
+    """silu(x * scale + shift) convolved stride-1 over (H, W), 'same' pad.
 
-    W (sublane) shifts are hoisted out of the tap loop (see
-    pallas_dw._dw_spatial_kernel); the prologue is computed once per
-    shifted copy, H taps index the untiled H axis for free.
+    The input block is zero-padded by k//2; padded positions are masked to
+    zero AFTER the prologue (silu(0*scale+shift) != 0 in general — an
+    iota-based mask is the only formulation correct for scale == 0).
+    W (sublane) shifts are hoisted out of the tap loop; H taps index the
+    untiled H axis for free.
     """
+    pad = k // 2
     x = x_ref[...].astype(jnp.float32)  # (S, Hp, Wp, C)
     x = _silu(x * scale_ref[0].astype(jnp.float32) + shift_ref[0].astype(jnp.float32))
-    s_dim, hp, _, c = x.shape
+    s_dim, hp, wp, c = x.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    interior = (row >= pad) & (row < hp - pad) & (col >= pad) & (col < wp - pad)
+    x = jnp.where(interior, x, 0.0)
     oh, ow = out_ref.shape[1], out_ref.shape[2]
     cols = [
         jax.lax.slice(x, (0, 0, dj, 0), (s_dim, hp, dj + ow, c)) for dj in range(k)
@@ -86,20 +93,34 @@ def _fused_spatial_kernel(x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: int
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _fused_spatial_s2_kernel(x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: int):
-    """Stride-2 via parity planes (see pallas_dw._dw_spatial_s2_kernel)."""
+def _fused_spatial_s2_kernel(
+    x_ref, scale_ref, shift_ref, w_ref, out_ref, *, k: int, hp: int, wp: int
+):
+    """Stride-2 via parity planes (see pallas_dw._dw_spatial_s2_kernel).
+
+    ``hp``/``wp`` are the pre-evenness padded extents; plane (r, s) position
+    (a, b) maps to original (2a + r, 2b + s), masked to the interior after
+    the prologue (see the stride-1 kernel).
+    """
+    pad = k // 2
     x = x_ref[...].astype(jnp.float32)  # (S, 4, Hh, Wh, C)
     x = _silu(x * scale_ref[0].astype(jnp.float32) + shift_ref[0].astype(jnp.float32))
-    s_dim, _, hh, _, c = x.shape
+    s_dim, _, hh, wh, c = x.shape
     oh, ow = out_ref.shape[1], out_ref.shape[2]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for r in range(2):
         for s in range(2):
             plane = x[:, r * 2 + s]
+            row = 2 * jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1) + r
+            col = 2 * jax.lax.broadcasted_iota(jnp.int32, plane.shape, 2) + s
+            interior = (
+                (row >= pad) & (row < hp - pad) & (col >= pad) & (col < wp - pad)
+            )
+            plane = jnp.where(interior, plane, 0.0)
             for b in range((k - s + 1) // 2):
-                col = jax.lax.slice(plane, (0, 0, b, 0), (s_dim, hh, b + ow, c))
+                col_slab = jax.lax.slice(plane, (0, 0, b, 0), (s_dim, hh, b + ow, c))
                 for a in range((k - r + 1) // 2):
-                    tap = jax.lax.slice(col, (0, a, 0, 0), (s_dim, a + oh, ow, c))
+                    tap = jax.lax.slice(col_slab, (0, a, 0, 0), (s_dim, a + oh, ow, c))
                     acc = acc + tap * w_ref[2 * a + r, 2 * b + s].astype(jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
@@ -134,30 +155,14 @@ def fused_bn_silu_dw_spatial(
     scale = scale.astype(jnp.float32)
     shift = shift.astype(jnp.float32)
 
-    # NB: padding with zeros is correct only because the prologue is applied
-    # before padding would matter: silu(0*scale+shift) != 0 in general, so
-    # the pad must happen AFTER the affine+silu.  Instead of padding the
-    # transformed tensor (which would reintroduce the materialization), the
-    # kernel pads with the *transformed* fill value: pad x with a value v
-    # such that silu(v*scale+shift) == 0 is impossible per-channel, so we
-    # pre-pad with zeros and fix up by padding with -shift/scale (the affine
-    # preimage of 0, and silu(0) == 0).
-    fill = jnp.where(scale != 0, -shift / jnp.where(scale == 0, 1.0, scale), 0.0)
+    # Plain zero padding: the kernels mask padded positions to zero AFTER
+    # the affine+SiLU prologue (silu(0*scale+shift) != 0 in general, and no
+    # per-channel input fill value exists when scale == 0).
     hp, wp = h + 2 * pad, w + 2 * pad
-    # Stride 2 parity-splits the slab into even/odd planes of ceil(.)/2
-    # extents; pre-pad to even so every padded position carries `fill`.
+    # Stride 2 parity-splits the slab into even/odd planes; pre-pad to even.
     ph = hp % 2 if stride == 2 else 0
     pw = wp % 2 if stride == 2 else 0
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad + ph), (pad, pad + pw), (0, 0)))
-    if pad or ph or pw:
-        f = fill.astype(x.dtype)
-        xp = xp.at[:, :, :pad, :, :].set(f)
-        xp = xp.at[:, :, hp:, :, :].set(f)
-        xp = xp.at[:, :, :, :pad, :].set(f)
-        xp = xp.at[:, :, :, wp:, :].set(f)
-        if pad:
-            xp = xp.at[:, :, hp - pad : hp, :, :].set(f)
-            xp = xp.at[:, :, :, wp - pad : wp, :].set(f)
     xp = xp.reshape(n, hp + ph, wp + pw, c)
     scale2d = scale.reshape(1, c)
     shift2d = shift.reshape(1, c)
@@ -187,7 +192,7 @@ def fused_bn_silu_dw_spatial(
     planes = _parity_split(xp)
     hh, wh = planes.shape[2], planes.shape[3]
     out = pl.pallas_call(
-        functools.partial(_fused_spatial_s2_kernel, k=k),
+        functools.partial(_fused_spatial_s2_kernel, k=k, hp=hp, wp=wp),
         grid=(nct, n // slab),
         in_specs=[
             pl.BlockSpec(

@@ -41,17 +41,35 @@ def test_fused_spatial_matches_chain(stride, shape, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
-def test_padding_preimage_fill(monkeypatch):
+def test_padding_masked_after_prologue(monkeypatch):
     """Border behavior must match padding the *activated* tensor with 0."""
     monkeypatch.setenv("SENSORIUM_DW_IMPL", "xla")
     rng = np.random.default_rng(1)
     c = 8
     x = rng.normal(0, 1, (1, 1, 5, 5, c)).astype(np.float32)
     scale = np.full((c,), 2.0, np.float32)
-    shift = np.full((c,), 3.0, np.float32)  # silu(0*2+3) != 0 -> fill matters
+    shift = np.full((c,), 3.0, np.float32)  # silu(0*2+3) != 0 -> mask matters
     kernel = rng.normal(0, 0.5, (3, 3, c)).astype(np.float32)
     got = fused.fused_bn_silu_dw_spatial(
         jnp.asarray(x), jnp.asarray(scale), jnp.asarray(shift), jnp.asarray(kernel), 1
     )
     want = reference_chain(jnp.asarray(x), scale, shift, jnp.asarray(kernel), 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_zero_scale_channels(stride, monkeypatch):
+    """Dead-BN channels (gamma == 0) must still pad-to-zero correctly."""
+    monkeypatch.setenv("SENSORIUM_DW_IMPL", "xla")
+    rng = np.random.default_rng(2)
+    c = 8
+    x = rng.normal(0, 1, (1, 2, 6, 7, c)).astype(np.float32)
+    scale = np.zeros((c,), np.float32)
+    scale[: c // 2] = 1.5  # half dead, half live
+    shift = np.full((c,), 1.0, np.float32)  # silu(shift) != 0 on dead lanes
+    kernel = rng.normal(0, 0.5, (3, 3, c)).astype(np.float32)
+    got = fused.fused_bn_silu_dw_spatial(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(shift), jnp.asarray(kernel), stride
+    )
+    want = reference_chain(jnp.asarray(x), scale, shift, jnp.asarray(kernel), stride)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -38,6 +38,9 @@ def main():
         "batch_stats": teacher_state.batch_stats,
     }
     # Free the teacher's optimizer tree; only params/stats are needed.
+    # (teacher.state holds the same TrainState — drop that reference too,
+    # or the AdamW moments stay resident and skew the HBM-headroom check.)
+    teacher.state = None
     del teacher_state
 
     student = MouseModel(student_cfg)
