@@ -269,10 +269,11 @@ def measure_infer() -> dict:
 
     model = MouseModel(_flagship_params())
     model.build_state(seed=0, learning_rate=0.0)
+    chunk_size = int(os.environ.get("SENSORIUM_INFER_CHUNK", "32"))
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/model-001-0.000001.ckpt"
         model.save(path)
-        predictor = Predictor(path, chunk_size=32)
+        predictor = Predictor(path, chunk_size=chunk_size)
 
     rng = np.random.default_rng(0)
     length = 300
