@@ -1,0 +1,117 @@
+"""Unit tests for the small host-side helpers (reference src/utils.py) and
+the threaded loader's ordering/determinism contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sensorium_tpu.utils import get_best_model_path, get_length_without_nan, get_lr
+
+
+class TestGetLr:
+    def test_reference_scaling(self):
+        """base 3e-4 at batch 32 -> 2.4e-3 (reference utils.py:18, README:149)."""
+        assert get_lr(3e-4, 32) == pytest.approx(2.4e-3)
+        assert get_lr(1e-3, 4) == pytest.approx(1e-3)
+
+
+class TestBestModelPath:
+    def test_picks_highest_score(self, tmp_path):
+        for name in ("model-001-0.100000.ckpt", "model-002-0.250000.ckpt",
+                     "model-003-0.030000.ckpt"):
+            (tmp_path / name).touch()
+        assert get_best_model_path(tmp_path).name == "model-002-0.250000.ckpt"
+
+    def test_less_is_better_mode(self, tmp_path):
+        for name in ("model-001-0.900000.ckpt", "model-002-0.100000.ckpt"):
+            (tmp_path / name).touch()
+        path, score = get_best_model_path(tmp_path, return_score=True, more_better=False)
+        assert path.name == "model-002-0.100000.ckpt"
+        assert score == pytest.approx(0.1)
+
+    def test_reference_pth_names_supported(self, tmp_path):
+        (tmp_path / "model-017-0.292511.pth").touch()
+        assert get_best_model_path(tmp_path).suffix == ".pth"
+
+    def test_ignores_unscored_files(self, tmp_path):
+        (tmp_path / "train_state.ckpt").touch()
+        (tmp_path / "notes.txt").touch()
+        assert get_best_model_path(tmp_path) is None
+        path, score = get_best_model_path(tmp_path, return_score=True)
+        assert path is None and score == -np.inf
+
+    def test_empty_dir(self, tmp_path):
+        assert get_best_model_path(tmp_path) is None
+
+
+class TestLengthWithoutNan:
+    def test_trims_at_first_nan(self):
+        arr = np.array([1.0, 2.0, np.nan, 4.0, np.nan])
+        assert get_length_without_nan(arr) == 2
+
+    def test_no_nan(self):
+        assert get_length_without_nan(np.arange(5.0)) == 5
+
+    def test_leading_nan(self):
+        assert get_length_without_nan(np.array([np.nan, 1.0])) == 0
+
+
+class TestLoaderContracts:
+    def _dataset(self):
+        class Tiny:
+            num_mice = 2
+            max_neurons = 3
+
+            def __len__(self):
+                return 10
+
+            def get(self, index, epoch=0):
+                rng = np.random.default_rng((7, epoch, index))
+                return (
+                    index % 2,
+                    np.full((5, 2, 4, 4), float(index), np.float32),
+                    rng.uniform(0, 1, (3, 2)).astype(np.float32),
+                )
+
+        return Tiny()
+
+    def test_shuffle_is_epoch_deterministic(self):
+        from sensorium_tpu.data.loader import MiceDataLoader
+
+        loader = MiceDataLoader(self._dataset(), batch_size=4, shuffle=True, seed=3)
+        loader.set_epoch(2)
+        first = [batch.inputs[:, 0, 0, 0, 0].tolist() for batch in loader]
+        second = [batch.inputs[:, 0, 0, 0, 0].tolist() for batch in loader]
+        assert first == second
+        loader.set_epoch(3)
+        third = [batch.inputs[:, 0, 0, 0, 0].tolist() for batch in loader]
+        assert third != first
+
+    def test_drop_last_and_batch_order(self):
+        from sensorium_tpu.data.loader import MiceDataLoader
+
+        loader = MiceDataLoader(self._dataset(), batch_size=4, drop_last=True)
+        batches = list(loader)
+        assert len(loader) == 2 and len(batches) == 2
+        # Unshuffled order is the index order.
+        np.testing.assert_allclose(batches[0].inputs[:, 0, 0, 0, 0], [0, 1, 2, 3])
+
+        full = list(MiceDataLoader(self._dataset(), batch_size=4))
+        assert [len(b) for b in full] == [4, 4, 2]
+
+    def test_worker_exception_propagates(self):
+        from sensorium_tpu.data.loader import MiceDataLoader
+
+        class Exploding:
+            num_mice = 1
+            max_neurons = 1
+
+            def __len__(self):
+                return 4
+
+            def get(self, index, epoch=0):
+                raise RuntimeError("corrupted trial file")
+
+        with pytest.raises(RuntimeError, match="corrupted trial"):
+            list(MiceDataLoader(Exploding(), batch_size=2))
