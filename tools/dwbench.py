@@ -51,11 +51,49 @@ def timed(fn, *args) -> float:
     return (time.perf_counter() - start) / ITERS * 1e3
 
 
+TEMPORAL_SHAPES = [
+    ("t-block0-3", (32, 16, 32, 32, 448)),
+    ("t-block4-6", (32, 16, 16, 16, 896)),
+    ("t-block7-8", (32, 16, 8, 8, 1792)),
+]
+TEMPORAL_K = 5
+
+
+def bench_temporal(rng):
+    """Temporal (k,1,1) dw conv: XLA vs Pallas (T shifts ride an untiled
+    axis, so the Pallas kernel pays no slice rotations here)."""
+    from sensorium_tpu.ops.pallas_dw import dw_temporal
+
+    for name, (b, t, h, w, c) in TEMPORAL_SHAPES:
+        x = jnp.asarray(rng.normal(0, 1, (b, t, h, w, c)), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
+        shift = jnp.asarray(rng.normal(0, 0.2, (c,)), jnp.float32)
+        taps = jnp.asarray(rng.normal(0, 0.5, (TEMPORAL_K, c)), jnp.bfloat16)
+
+        @jax.jit
+        def chain_t(x, scale, shift, taps):
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            return conv.depthwise_conv_temporal(y, taps)
+
+        @jax.jit
+        def pallas_t(x, scale, shift, taps):
+            y = jax.nn.silu(x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+            return dw_temporal(y, taps)
+
+        for impl, fn in (("chain", chain_t), ("pallas", pallas_t)):
+            try:
+                ms = timed(fn, x, scale, shift, taps)
+                print(json.dumps({"shape": name, "impl": impl, "ms": round(ms, 3)}))
+            except Exception as exc:  # noqa: BLE001
+                print(json.dumps({"shape": name, "impl": impl, "error": str(exc)[:160]}))
+
+
 def main():
     import os
 
     os.environ.setdefault("SENSORIUM_DW_IMPL", "xla")
     rng = np.random.default_rng(0)
+    bench_temporal(rng)
     for name, (b, t, h, w, c, stride) in SHAPES:
         x = jnp.asarray(rng.normal(0, 1, (b, t, h, w, c)), jnp.bfloat16)
         scale = jnp.asarray(rng.normal(1, 0.2, (c,)), jnp.float32)
