@@ -46,6 +46,11 @@ class BatchNorm(nn.Module):
 
         if train:
             x32 = x.astype(jnp.float32)
+            # Two jnp.mean calls, NOT a variadic one-pass lax.reduce: the
+            # variadic form was A/B-measured on v5e and loses — XLA cannot
+            # fuse the squaring into a multi-operand reduce, so it
+            # materializes the f32 square (+3.7 GB at flagship shapes, OOM),
+            # while the standalone two-reduce form compiles to a single pass.
             mean = jnp.mean(x32, axis=reduce_axes)
             mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
             if self.axis_name is not None:
