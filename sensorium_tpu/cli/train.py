@@ -13,6 +13,9 @@ TPU-first differences:
   moments + RNG + step) — a capability the reference lacks;
 * SIGTERM (TPU-VM preemption warning) saves the full train state and exits
   with code 75 (EX_TEMPFAIL); rerun with ``--resume`` to continue;
+* ``--fold-procs N [--pin-chips]`` trains up to N independent CV folds
+  concurrently, one single-chip subprocess per fold — the reference runs
+  its 7 folds back-to-back on one GPU (12 h each);
 * the data loader is the threaded mmap prefetcher, not worker processes.
 """
 
@@ -55,7 +58,107 @@ def parse_arguments():
     parser.add_argument("--resume", action="store_true",
                         help="resume each fold from its train_state.ckpt")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--fold-procs", default=1, type=int,
+                        help="train up to N CV folds concurrently, one "
+                             "subprocess per fold (the reference trains "
+                             "folds sequentially); combine with --pin-chips "
+                             "on a multi-chip TPU host")
+    parser.add_argument("--pin-chips", action="store_true",
+                        help="pin each fold subprocess to one TPU chip "
+                             "(subprocess slot i -> chip i)")
     return parser.parse_args()
+
+
+def chip_pinning_env(slot: int) -> dict[str, str]:
+    """Env that restricts a child process to TPU chip ``slot``.
+
+    The standard 'multiple JAX processes on one TPU host' recipe: shrink
+    the process topology to a single chip and make only that chip visible.
+    (Variable names cover the libtpu generations in circulation.)
+    """
+    return {
+        "TPU_PROCESS_BOUNDS": "1,1,1",
+        "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+        "TPU_VISIBLE_DEVICES": str(slot),
+        "TPU_VISIBLE_CHIPS": str(slot),
+    }
+
+
+def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> None:
+    """Train CV folds concurrently, one ``cli.train`` subprocess per fold.
+
+    The folds of a CV experiment are fully independent (the reference runs
+    them back-to-back on one GPU, 12 h each — ``scripts/train.py:178-189``);
+    on an N-chip host they can run N at a time.  Each child is a plain
+    single-device ``cli.train -f <fold>`` invocation whose stdout/stderr is
+    teed to ``<fold_dir>/train_proc.log``; with ``--pin-chips`` child slot i
+    only sees chip i.  The parent never initializes a JAX backend, so it
+    holds no chip.
+
+    Exit code propagation: 75 (EX_TEMPFAIL, preemption) if any child was
+    preempted, 1 if any child failed, 0 otherwise.
+    """
+    import os
+    import subprocess
+    import sys
+    import time
+
+    pending = list(folds_splits)
+    running: dict = {}
+    exit_codes: dict[str, int] = {}
+    free_slots = list(range(max(1, args.fold_procs)))
+    repo_root = Path(__file__).resolve().parent.parent.parent
+
+    try:
+        while pending or running:
+            while pending and free_slots:
+                fold = pending.pop(0)
+                slot = free_slots.pop(0)
+                cmd = [
+                    sys.executable, "-m", "sensorium_tpu.cli.train",
+                    "-e", args.experiment,
+                    "-f", fold.removeprefix("fold_"),
+                    "--seed", str(args.seed),
+                    "--no-mesh",  # one fold <-> one device by design
+                ]
+                if args.resume:
+                    cmd.append("--resume")
+                env = dict(os.environ)
+                env["PYTHONPATH"] = os.pathsep.join(
+                    [str(repo_root)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+                )
+                if args.pin_chips:
+                    env.update(chip_pinning_env(slot))
+                fold_dir = experiment_dir / fold
+                fold_dir.mkdir(parents=True, exist_ok=True)
+                logfile = open(fold_dir / "train_proc.log", "a")
+                proc = subprocess.Popen(
+                    cmd, env=env, stdout=logfile, stderr=subprocess.STDOUT
+                )
+                print(f"[fold-procs] started {fold} (pid {proc.pid}, slot {slot})")
+                running[proc] = (fold, slot, logfile)
+
+            time.sleep(0.5)
+            for proc in [p for p in list(running) if p.poll() is not None]:
+                fold, slot, logfile = running.pop(proc)
+                logfile.close()
+                free_slots.append(slot)
+                exit_codes[fold] = proc.returncode
+                print(f"[fold-procs] finished {fold} rc={proc.returncode}")
+    finally:
+        for proc, (fold, _, logfile) in running.items():
+            proc.terminate()
+            logfile.close()
+
+    preempted = sorted(f for f, rc in exit_codes.items() if rc == 75)
+    failed = sorted(f for f, rc in exit_codes.items() if rc not in (0, 75))
+    if preempted:
+        print(f"[fold-procs] preempted: {preempted}. Rerun with --resume.")
+    if failed:
+        print(f"[fold-procs] FAILED: {failed} (see <fold_dir>/train_proc.log)")
+        raise SystemExit(1)
+    if preempted:
+        raise SystemExit(75)
 
 
 def build_mesh(args):
@@ -191,7 +294,15 @@ def train_mouse(
 
 
 def main():
+    import os
+
     from sensorium_tpu.utils.cache import enable_compilation_cache
+
+    # Honor a platform override before any backend initialization (env
+    # JAX_PLATFORMS alone is unreliable once a TPU plugin is installed).
+    platform = os.environ.get("SENSORIUM_JAX_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     enable_compilation_cache()
     args = parse_arguments()
@@ -211,14 +322,20 @@ def main():
     shutil.copy(config_path, experiment_dir / config_path.name)
     shutil.copy(Path(__file__).resolve(), experiment_dir / "train.py")
 
-    mesh = build_mesh(args)
-    if mesh is not None:
-        print("Mesh:", dict(mesh.shape))
-
     if args.folds == "all":
         folds_splits = constants.folds_splits
     else:
         folds_splits = [f"fold_{fold}" for fold in args.folds.split(",")]
+
+    if args.fold_procs > 1:
+        # The parent must not touch a JAX backend: on TPU a process owns
+        # every chip it initializes, which would starve the children.
+        run_parallel_folds(args, folds_splits, experiment_dir)
+        return
+
+    mesh = build_mesh(args)
+    if mesh is not None:
+        print("Mesh:", dict(mesh.shape))
 
     for fold_split in folds_splits:
         fold_dir = experiment_dir / fold_split

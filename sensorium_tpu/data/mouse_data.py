@@ -48,11 +48,22 @@ def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
     For "new" mice only the train/oracle tiers carry responses, so only
     those are folded.  For "old" mice the test-split responses were
     back-filled by the downloader, so every non-'none' tier is folded.
+
+    ``SENSORIUM_FOLD_ASSIGNMENT=trial`` switches the group key from the
+    video pHash to the trial index (``fold_{trial_id % num_folds}``) — a
+    debug/smoke mode that gives balanced folds on synthetic datasets whose
+    videos do not hash uniformly.  The default ('phash') is the reference
+    assignment (``/root/reference/src/data.py:20-30``).
     """
+    import os
+
     # Widen the string dtype: assigning "fold_{k}" into a narrow (<U5)
     # array would silently truncate the fold names.
     tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy")).astype("U32")
-    phashes = compute_video_phashes(mouse)
+    if os.environ.get("SENSORIUM_FOLD_ASSIGNMENT", "phash") == "trial":
+        phashes = np.arange(tiers.shape[0], dtype=np.uint64)
+    else:
+        phashes = compute_video_phashes(mouse)
     if mouse in constants.new_mice:
         labeled = (tiers == "train") | (tiers == "oracle")
     else:

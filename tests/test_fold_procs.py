@@ -1,0 +1,81 @@
+"""End-to-end test of parallel fold training (``cli.train --fold-procs``).
+
+Drives the real CLI as subprocesses against a synthetic on-disk dataset:
+the parent orchestrates two concurrent single-fold children (the
+capability the reference lacks — it trains its 7 folds sequentially,
+``/root/reference/scripts/train.py:178-189``), and each child must leave
+behind the same artifacts sequential training produces: a best-checkpoint
+``model-*.ckpt``, ``log.txt`` / ``log.csv``, and a ``train_proc.log``.
+
+Children run on the CPU backend (``SENSORIUM_JAX_PLATFORM=cpu``) with
+trial-index fold assignment (``SENSORIUM_FOLD_ASSIGNMENT=trial``) so the
+synthetic videos spread over all folds deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from tests.synthetic import build_synthetic_dataset, tiny_experiment_config
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def write_config_file(configs_dir: Path, name: str) -> None:
+    config = tiny_experiment_config()
+    config["num_epochs"] = [1, 1]
+    config["train_epoch_size"] = 20
+    configs_dir.mkdir(parents=True, exist_ok=True)
+    (configs_dir / f"{name}.py").write_text(f"config = {config!r}\n")
+
+
+@pytest.mark.baseline
+def test_fold_procs_parallel_training(tmp_path):
+    data_dir = tmp_path / "data"
+    (data_dir / "sensorium_all_2023").mkdir(parents=True)
+    build_synthetic_dataset(data_dir / "sensorium_all_2023")
+    configs_dir = tmp_path / "configs"
+    write_config_file(configs_dir, "tiny_fp")
+
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(REPO_ROOT),
+        SENSORIUM_DATA_DIR=str(data_dir),
+        SENSORIUM_CONFIGS_DIR=str(configs_dir),
+        SENSORIUM_FOLD_ASSIGNMENT="trial",
+        SENSORIUM_JAX_PLATFORM="cpu",
+        SENSORIUM_NATIVE="0",
+        SENSORIUM_JAX_CACHE="0",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "sensorium_tpu.cli.train",
+            "-e", "tiny_fp", "-f", "1,2", "--fold-procs", "2", "--seed", "0",
+        ],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "[fold-procs] started fold_1" in proc.stdout
+    assert "[fold-procs] started fold_2" in proc.stdout
+
+    experiment_dir = data_dir / "experiments" / "tiny_fp"
+    for fold in ("fold_1", "fold_2"):
+        fold_dir = experiment_dir / fold
+        checkpoints = list(fold_dir.glob("model-*.ckpt"))
+        proc_log = fold_dir / "train_proc.log"
+        assert checkpoints, (
+            f"no checkpoint in {fold_dir}; train_proc.log:\n"
+            + (proc_log.read_text() if proc_log.exists() else "<missing>")
+        )
+        assert (fold_dir / "log.txt").exists()
+        assert (fold_dir / "log.csv").exists()
+        assert proc_log.exists()
