@@ -288,10 +288,23 @@ def measure_infer() -> dict:
         out = predictor.predict_trial(video, behavior, pupil, mouse_index=0)
     elapsed = time.perf_counter() - start
     windows = len(predictor.indexes_generator.valid_anchors(length))
+
+    # Split device compute from the host<->device transfers: over a remote
+    # tunnel the (N, T) f32 result fetch dominates wall time, which on a
+    # real TPU VM (PCIe) is negligible.  Sync on a scalar instead.
+    import jax
+
+    start = time.perf_counter()
+    for _ in range(trials):
+        res = predictor.predict_trial_device(video, behavior, pupil, mouse_index=0)
+        float(jax.device_get(res[0, 0]))
+    device_elapsed = time.perf_counter() - start
     return {
         "blended_frames_per_sec": round(trials * length / elapsed, 1),
         "window_forwards_per_sec": round(trials * windows / elapsed, 1),
         "trial_seconds": round(elapsed / trials, 3),
+        "device_trial_seconds": round(device_elapsed / trials, 3),
+        "device_window_forwards_per_sec": round(trials * windows / device_elapsed, 1),
         "prediction_shape": list(out.shape),
     }
 

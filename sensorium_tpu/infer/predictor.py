@@ -10,6 +10,10 @@ for TPU throughput:
   each chunk's windows gathered **on device** from the trial tensor (one
   host->device transfer per trial instead of 16x-overlapping copies), and
   the model runs at batch ``chunk_size`` with one readout;
+* the 5-channel input stack is assembled **on device**: channels 1-4 are
+  per-frame scalars broadcast to full planes (inputs.py:32-33), so the
+  host transfers only the compact video + (2, T) signals — ~9x fewer
+  bytes over PCIe than shipping the assembled (5, T, H, W) stack;
 * the whole trial — window gather, chunked forwards (``lax.scan``), and
   the overlap/blend scatter-accumulation — is ONE jitted call; only the
   final blended (N, T) response crosses back to host;
@@ -31,7 +35,7 @@ import numpy as np
 
 from sensorium_tpu import constants
 from sensorium_tpu.data.indexes import WindowIndexer
-from sensorium_tpu.data.inputs import get_inputs_processor
+from sensorium_tpu.data.inputs import StackInputsProcessor, get_inputs_processor
 from sensorium_tpu.engine.model import load_model
 
 
@@ -77,59 +81,104 @@ class Predictor:
         self.length_bucket = length_bucket
         self._window_fns: dict[int, callable] = {}
 
+    def _scan_windows(self, trial_inputs, params, batch_stats, windows, valid, mouse_index):
+        """Chunked window forwards + blend scatter over an assembled trial.
+
+        trial_inputs: (5, Tp, H, W); windows: (chunks, C, S) frame indexes;
+        valid: (chunks, C) 1/0 rows (tail padding).
+        """
+        model = self.model.nn_module
+        num_neurons = model.readout_outputs[mouse_index]
+        blend = jnp.asarray(self.blend_weights)  # (S,)
+        padded_len = trial_inputs.shape[1]
+
+        def body(carry, chunk):
+            resp_acc, blend_acc = carry
+            w, ok = chunk  # (C, S), (C,)
+            gathered = jnp.take(trial_inputs, w, axis=1)  # (5, C, S, H, W)
+            batch = jnp.transpose(gathered, (1, 0, 2, 3, 4))
+            pred = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                mouse_index=mouse_index,
+                train=False,
+            ).astype(jnp.float32)  # (C, N, S)
+            pred = pred * ok[:, None, None]
+            flat = w.reshape(-1)  # (C*S,)
+            updates = jnp.transpose(pred, (1, 0, 2)).reshape(num_neurons, -1)
+            resp_acc = resp_acc.at[:, flat].add(updates)
+            blend_acc = blend_acc.at[flat].add(
+                (blend[None, :] * ok[:, None]).reshape(-1)
+            )
+            return (resp_acc, blend_acc), None
+
+        init = (
+            jnp.zeros((num_neurons, padded_len), jnp.float32),
+            jnp.zeros((padded_len,), jnp.float32),
+        )
+        (resp_acc, blend_acc), _ = jax.lax.scan(body, init, (windows, valid))
+        return resp_acc / jnp.clip(blend_acc, 1.0, None)
+
+    def _jit_kwargs(self, num_trial_args: int):
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        chunked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        return dict(
+            in_shardings=(rep, rep) + (rep,) * num_trial_args + (chunked, chunked),
+            out_shardings=rep,
+        )
+
     def _trial_fn(self, mouse_index: int):
-        """Jitted full-trial prediction: gather + scan forwards + blend."""
+        """Jitted full-trial prediction with on-device input assembly.
+
+        Takes the compact trial arrays (video planes + behavior + pupil
+        center) and builds the (5, Tp, H, W) stack on device — the
+        broadcast channels never cross the host-device link.
+        """
         if mouse_index not in self._window_fns:
-            model = self.model.nn_module
-            num_neurons = model.readout_outputs[mouse_index]
-            blend = jnp.asarray(self.blend_weights)  # (S,)
+            width, height = self.inputs_processor.size
+            fill = self.inputs_processor.pad_fill_value
 
-            jit_kwargs = {}
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                rep = NamedSharding(self.mesh, PartitionSpec())
-                chunked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-                jit_kwargs = dict(
-                    in_shardings=(rep, rep, rep, chunked, chunked),
-                    out_shardings=rep,
+            @functools.partial(jax.jit, **self._jit_kwargs(num_trial_args=3))
+            def run(params, batch_stats, video, behavior, pupil_center, windows, valid):
+                # video: (Tp, sh, sw); behavior / pupil_center: (2, Tp).
+                padded_len, src_h, src_w = video.shape
+                h0 = (height - src_h) // 2
+                w0 = (width - src_w) // 2
+                ch0 = jnp.pad(
+                    video,
+                    ((0, 0), (h0, height - src_h - h0), (w0, width - src_w - w0)),
+                    constant_values=fill,
+                )[None]  # (1, Tp, H, W)
+                planes = jnp.concatenate([behavior, pupil_center], axis=0)
+                trial_inputs = jnp.concatenate(
+                    [ch0, jnp.broadcast_to(planes[:, :, None, None], (4, padded_len, height, width))],
+                    axis=0,
                 )
-
-            @functools.partial(jax.jit, **jit_kwargs)
-            def run(params, batch_stats, trial_inputs, windows, valid):
-                # trial_inputs: (5, Tp, H, W); windows: (chunks, C, S) frame
-                # indexes; valid: (chunks, C) 1/0 rows (tail padding).
-                padded_len = trial_inputs.shape[1]
-
-                def body(carry, chunk):
-                    resp_acc, blend_acc = carry
-                    w, ok = chunk  # (C, S), (C,)
-                    gathered = jnp.take(trial_inputs, w, axis=1)  # (5, C, S, H, W)
-                    batch = jnp.transpose(gathered, (1, 0, 2, 3, 4))
-                    pred = model.apply(
-                        {"params": params, "batch_stats": batch_stats},
-                        batch,
-                        mouse_index=mouse_index,
-                        train=False,
-                    ).astype(jnp.float32)  # (C, N, S)
-                    pred = pred * ok[:, None, None]
-                    flat = w.reshape(-1)  # (C*S,)
-                    updates = jnp.transpose(pred, (1, 0, 2)).reshape(num_neurons, -1)
-                    resp_acc = resp_acc.at[:, flat].add(updates)
-                    blend_acc = blend_acc.at[flat].add(
-                        (blend[None, :] * ok[:, None]).reshape(-1)
-                    )
-                    return (resp_acc, blend_acc), None
-
-                init = (
-                    jnp.zeros((num_neurons, padded_len), jnp.float32),
-                    jnp.zeros((padded_len,), jnp.float32),
+                return self._scan_windows(
+                    trial_inputs, params, batch_stats, windows, valid, mouse_index
                 )
-                (resp_acc, blend_acc), _ = jax.lax.scan(body, init, (windows, valid))
-                return resp_acc / jnp.clip(blend_acc, 1.0, None)
 
             self._window_fns[mouse_index] = run
         return self._window_fns[mouse_index]
+
+    def _trial_fn_hoststack(self, mouse_index: int):
+        """Jitted full-trial prediction from a host-assembled (5,T,H,W) stack
+        (fallback for non-``stack_inputs`` processors and oversized frames)."""
+        key = ("hoststack", mouse_index)
+        if key not in self._window_fns:
+
+            @functools.partial(jax.jit, **self._jit_kwargs(num_trial_args=1))
+            def run(params, batch_stats, trial_inputs, windows, valid):
+                return self._scan_windows(
+                    trial_inputs, params, batch_stats, windows, valid, mouse_index
+                )
+
+            self._window_fns[key] = run
+        return self._window_fns[key]
 
     def predict_trial(
         self,
@@ -138,9 +187,20 @@ class Predictor:
         pupil_center: np.ndarray,
         mouse_index: int,
     ) -> np.ndarray:
-        inputs = np.asarray(
-            self.inputs_processor(video, behavior, pupil_center), np.float32
-        )  # (5, T, H, W)
+        return np.asarray(
+            self.predict_trial_device(video, behavior, pupil_center, mouse_index)
+        )
+
+    def predict_trial_device(
+        self,
+        video: np.ndarray,
+        behavior: np.ndarray,
+        pupil_center: np.ndarray,
+        mouse_index: int,
+    ) -> jax.Array:
+        """``predict_trial`` but the (N, T) result stays on device —
+        callers that post-process on device (or only need a sync) avoid
+        the device->host transfer."""
         length = video.shape[-1]
         gen = self.indexes_generator
         anchors = gen.valid_anchors(length)
@@ -148,7 +208,7 @@ class Predictor:
         if len(anchors) == 0:
             # Trial shorter than one window: the reference's loop runs zero
             # iterations and the blend denominator clips to 1 -> zeros.
-            return np.zeros((num_neurons, length), np.float32)
+            return jnp.zeros((num_neurons, length), jnp.float32)
         windows = gen.windows(anchors).astype(np.int32)  # (A, S)
 
         # Bucket the time axis AND the anchor count so XLA executables are
@@ -156,8 +216,6 @@ class Predictor:
         # derived from the bucketed length, keeping one executable per
         # bucket rather than per exact trial length).
         padded_len = _round_up(length, self.length_bucket)
-        if padded_len > inputs.shape[1]:
-            inputs = np.pad(inputs, ((0, 0), (0, padded_len - inputs.shape[1]), (0, 0), (0, 0)))
         chunk = self.chunk_size
         max_anchors = len(gen.valid_anchors(padded_len))
         padded_anchors = _round_up(max_anchors, chunk)
@@ -165,20 +223,46 @@ class Predictor:
         valid = np.zeros(padded_anchors, np.float32)
         valid[: windows.shape[0]] = 1.0
         if pad_rows:
+            # Repeats of the last REAL window: in-range gathers, zero weight.
             windows = np.concatenate(
                 [windows, np.repeat(windows[-1:], pad_rows, axis=0)], axis=0
             )
 
-        run = self._trial_fn(mouse_index)
         variables = self.model.state
-        responses = np.asarray(
-            run(
-                variables.eval_params,
-                variables.eval_batch_stats,
-                jax.device_put(inputs),
-                jnp.asarray(windows.reshape(-1, chunk, windows.shape[-1])),
-                jnp.asarray(valid.reshape(-1, chunk)),
+        device_assembly = isinstance(self.inputs_processor, StackInputsProcessor)
+        if device_assembly:
+            width, height = self.inputs_processor.size
+            device_assembly = video.shape[0] <= height and video.shape[1] <= width
+        if device_assembly:
+            # Compact transfer: (Tp, sh, sw) video planes + (2, Tp) signals;
+            # the broadcast channels are built on device (_trial_fn).
+            tpad = padded_len - length
+            planes = np.ascontiguousarray(
+                np.transpose(video, (2, 0, 1)), dtype=np.float32
             )
+            trial_args = (
+                jax.device_put(np.pad(planes, ((0, tpad), (0, 0), (0, 0)))),
+                jax.device_put(np.pad(behavior.astype(np.float32), ((0, 0), (0, tpad)))),
+                jax.device_put(np.pad(pupil_center.astype(np.float32), ((0, 0), (0, tpad)))),
+            )
+            run = self._trial_fn(mouse_index)
+        else:
+            inputs = np.asarray(
+                self.inputs_processor(video, behavior, pupil_center), np.float32
+            )  # (5, T, H, W)
+            if padded_len > inputs.shape[1]:
+                inputs = np.pad(
+                    inputs, ((0, 0), (0, padded_len - inputs.shape[1]), (0, 0), (0, 0))
+                )
+            trial_args = (jax.device_put(inputs),)
+            run = self._trial_fn_hoststack(mouse_index)
+
+        responses = run(
+            variables.eval_params,
+            variables.eval_batch_stats,
+            *trial_args,
+            jnp.asarray(windows.reshape(-1, chunk, windows.shape[-1])),
+            jnp.asarray(valid.reshape(-1, chunk)),
         )
         return responses[:, :length]
 

@@ -135,6 +135,35 @@ class TestPredictionPipeline:
 
         np.testing.assert_allclose(fast, responses, rtol=1e-4, atol=1e-4)
 
+    def test_device_assembly_matches_hoststack(self, trained_fold):
+        """The on-device input-stack assembly (compact video+signals
+        transfer) must equal the host-assembled (5, T, H, W) fallback."""
+        save_dir, _, _ = trained_fold
+        predictor = Predictor(get_best_model_path(save_dir), chunk_size=16)
+
+        mouse = constants.new_mice[0]
+        data = mouse_data_mod.get_mouse_data(mouse, ["fold_0"])
+        trial = data["trials"][0]
+        length = trial["length"]
+        video = np.load(trial["video_path"])[..., :length]
+        behavior = np.load(trial["behavior_path"])[..., :length]
+        pupil = np.load(trial["pupil_center_path"])[..., :length]
+
+        device_path = predictor.predict_trial(video, behavior, pupil, mouse_index=0)
+
+        # Force the host-stack fallback by masquerading the processor class.
+        class _NotStack:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __call__(self, *args):
+                return self._inner(*args)
+
+        predictor.inputs_processor = _NotStack(predictor.inputs_processor)
+        host_path = predictor.predict_trial(video, behavior, pupil, mouse_index=0)
+
+        np.testing.assert_allclose(device_path, host_path, rtol=1e-5, atol=1e-5)
+
     def test_folds_evaluate_submission_ensemble(self, trained_fold):
         save_dir, _, _ = trained_fold
         experiment = "tiny_exp"
