@@ -24,9 +24,29 @@ def parse_arguments():
         choices=["folds"] + constants.unlabeled_splits, type=str,
     )
     parser.add_argument("-d", "--dataset", default="new", choices=["new", "old"], type=str)
+    parser.add_argument("--device", default=None, type=str,
+                        help="'<platform>[:<index>]', e.g. 'tpu:1' or 'cpu' "
+                             "(the reference's --device cuda:0, TPU-flavored)")
     parser.add_argument("--chunk-size", default=32, type=int,
                         help="sliding-window anchors per device batch")
     return parser.parse_args()
+
+
+def select_device(spec: str | None):
+    """Resolve '--device <platform>[:<index>]' into a jax.Device (or None).
+
+    Must run before any backend initialization; the platform part pins
+    ``jax_platforms`` (env JAX_PLATFORMS alone is unreliable once a TPU
+    plugin is installed).
+    """
+    if not spec:
+        return None
+    import jax
+
+    platform, _, index = spec.partition(":")
+    jax.config.update("jax_platforms", platform)
+    devices = jax.devices(platform)
+    return devices[int(index)] if index else devices[0]
 
 
 def _fold_model_path(experiment: str, fold_split: str):
@@ -72,17 +92,23 @@ def predict_unlabeled_split(
 
 
 def main():
+    import contextlib
+
+    import jax
+
     from sensorium_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     args = parse_arguments()
-    if args.split == "folds":
-        predict_folds(args.experiment, args.dataset, args.chunk_size)
-        evaluate_folds_predictions(args.experiment, args.dataset)
-    else:
-        predict_unlabeled_split(args.experiment, args.split, args.dataset, args.chunk_size)
-        if args.dataset == "new":
-            make_submission(args.experiment, args.split)
+    device = select_device(args.device)
+    with jax.default_device(device) if device is not None else contextlib.nullcontext():
+        if args.split == "folds":
+            predict_folds(args.experiment, args.dataset, args.chunk_size)
+            evaluate_folds_predictions(args.experiment, args.dataset)
+        else:
+            predict_unlabeled_split(args.experiment, args.split, args.dataset, args.chunk_size)
+            if args.dataset == "new":
+                make_submission(args.experiment, args.split)
 
 
 if __name__ == "__main__":

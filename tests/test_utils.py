@@ -115,3 +115,15 @@ class TestLoaderContracts:
 
         with pytest.raises(RuntimeError, match="corrupted trial"):
             list(MiceDataLoader(Exploding(), batch_size=2))
+
+
+class TestPredictDeviceFlag:
+    def test_select_device(self):
+        from sensorium_tpu.cli.predict import select_device
+
+        assert select_device(None) is None
+        assert select_device("") is None
+        dev = select_device("cpu")
+        assert dev.platform == "cpu" and dev.id == 0
+        dev1 = select_device("cpu:1")
+        assert dev1.platform == "cpu" and dev1.id == 1
