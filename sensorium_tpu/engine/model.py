@@ -65,6 +65,7 @@ class MouseModel:
         self._train_step = None
         self._val_step = None
         self._predict_steps: dict[Any, Any] = {}
+        self._metric_stats_fns: dict[int, Any] = {}
         self.logger = build_logger()
 
     # ---------------------------------------------------------------- setup
@@ -160,6 +161,13 @@ class MouseModel:
             self._val_step = make_val_step(self.nn_module, self.loss_fn)
         return self._val_step
 
+    def _metric_stats(self, metric):
+        """Jitted per-batch sufficient-statistics reducer for a metric."""
+        key = id(metric)
+        if key not in self._metric_stats_fns:
+            self._metric_stats_fns[key] = jax.jit(metric.batch_stats)
+        return self._metric_stats_fns[key]
+
     def train_step(self, batch) -> float:
         step = self._ensure_train_step()
         inputs, targets, weights = mesh_lib.shard_batch(
@@ -172,6 +180,9 @@ class MouseModel:
         return loss
 
     def val_step(self, batch):
+        """Returns (loss, prediction, device_targets, device_weights) — the
+        staged batch tensors are handed back so metric statistics can be
+        computed on device without a second host->device upload."""
         step = self._ensure_val_step()
         inputs, targets, weights = mesh_lib.shard_batch(
             self.mesh, batch.inputs, batch.targets, batch.weights
@@ -179,7 +190,7 @@ class MouseModel:
         loss, prediction = step(
             self.state.eval_params, self.state.eval_batch_stats, inputs, targets, weights
         )
-        return loss, prediction
+        return loss, prediction, targets, weights
 
     def predict(self, inputs, mouse_index: int | None = None):
         """Inference forward on the eval (EMA) weights."""
@@ -256,12 +267,22 @@ class MouseModel:
                     metric.reset()
                 val_losses = []
                 for batch in val_loader:
-                    loss, prediction = self.val_step(batch)
+                    loss, prediction, targets_dev, weights_dev = self.val_step(batch)
                     val_losses.append(loss)
                     for metric in metrics:
-                        metric.update(
-                            jax.device_get(prediction), batch.targets, batch.weights
-                        )
+                        if hasattr(metric, "batch_stats"):
+                            # Reduce to per-neuron sufficient statistics on
+                            # device; only ~(M, N_max, 5) floats cross back.
+                            counts, sums = self._metric_stats(metric)(
+                                prediction, targets_dev, weights_dev
+                            )
+                            metric.update_stats(
+                                jax.device_get(counts), jax.device_get(sums)
+                            )
+                        else:
+                            metric.update(
+                                jax.device_get(prediction), batch.targets, batch.weights
+                            )
                 engine_state.metrics["val_loss"] = float(
                     np.mean([jax.device_get(l) for l in val_losses])
                 )

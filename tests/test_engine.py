@@ -155,6 +155,29 @@ class TestSchedule:
 
 
 class TestCorrelationMetric:
+    def test_device_stats_match_host_update(self):
+        """The jitted device reducer (batch_corr_stats) must accumulate to
+        the same result as the host-array update() path."""
+        import jax
+
+        from sensorium_tpu.engine.metrics import batch_corr_stats
+
+        rng = np.random.default_rng(7)
+        pred = rng.gamma(1.5, 1.0, (2, 6, 4, 5)).astype(np.float32)
+        target = rng.gamma(1.5, 1.0, (6, 4, 5)).astype(np.float32)
+        weights = np.zeros((6, 2), np.float32)
+        weights[:4, 0] = 1.0
+        weights[4:, 1] = 1.0
+
+        host = CorrelationMetric(num_neurons=[3, 4])
+        host.update(pred, target, weights)
+
+        device = CorrelationMetric(num_neurons=[3, 4])
+        counts, sums = jax.jit(batch_corr_stats)(pred, target, weights)
+        device.update_stats(np.asarray(counts), np.asarray(sums))
+
+        assert host.epoch_metrics() == pytest.approx(device.epoch_metrics(), abs=1e-5)
+
     def test_perfect_correlation(self):
         metric = CorrelationMetric(num_neurons=[3, 4])
         pred = np.random.default_rng(0).uniform(0, 1, (2, 5, 4, 6)).astype(np.float32)
