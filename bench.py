@@ -252,6 +252,66 @@ def measure_loader() -> dict:
     return results
 
 
+def measure_distill() -> dict:
+    """Distillation training throughput (distillation_001 student +
+    frozen true_batch_001 teacher co-resident) — the highest-memory
+    production regime; validates HBM headroom on a 16 GB chip."""
+    from importlib.machinery import SourceFileLoader
+    from pathlib import Path
+
+    import jax
+
+    from sensorium_tpu.engine.losses import get_loss
+    from sensorium_tpu.engine.model import MouseModel
+    from sensorium_tpu.engine.steps import make_train_step
+
+    configs = Path(__file__).parent / "configs"
+    student_cfg = SourceFileLoader(
+        "distillation_001", str(configs / "distillation_001.py")
+    ).load_module().config["argus_params"]
+    teacher_cfg = SourceFileLoader(
+        "true_batch_001", str(configs / "true_batch_001.py")
+    ).load_module().config["argus_params"]
+
+    teacher = MouseModel(teacher_cfg)
+    teacher_state = teacher.build_state(seed=1, learning_rate=0.0)
+    teacher_vars = {
+        "params": teacher_state.params,
+        "batch_stats": teacher_state.batch_stats,
+    }
+    # Free the teacher's optimizer tree; only params/stats are needed.
+    teacher.state = None
+    del teacher_state
+
+    student = MouseModel(student_cfg)
+    student.set_ema(0.999)
+    state = student.build_state(seed=0, learning_rate=2.4e-3)
+    step = make_train_step(
+        student.nn_module,
+        student.tx,
+        get_loss(*student_cfg["loss"]),
+        ema_decay=0.999,
+        distill_ratio=0.36,
+        teacher_model=teacher.nn_module,
+    )
+
+    inputs, targets, weights = synthetic_batch()
+    for _ in range(WARMUP_STEPS):
+        state, loss = step(state, inputs, targets, weights, teacher_vars)
+    loss_first = float(jax.device_get(loss))
+
+    start = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, loss = step(state, inputs, targets, weights, teacher_vars)
+    loss_last = float(jax.device_get(loss))
+    elapsed = time.perf_counter() - start
+    return {
+        "distill_clips_per_sec": round(BATCH * MEASURE_STEPS / elapsed, 2),
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
+    }
+
+
 def measure_infer() -> dict:
     """Batched sliding-window predictor throughput on one trial.
 
@@ -314,12 +374,31 @@ def main():
     parser.add_argument("--ab", action="store_true", help="A/B pallas vs xla dw impls")
     parser.add_argument("--loader", action="store_true", help="host loader throughput")
     parser.add_argument("--infer", action="store_true", help="predictor throughput")
+    parser.add_argument("--distill", action="store_true",
+                        help="distillation training throughput (student+teacher)")
     parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     args = parser.parse_args()
 
     from sensorium_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.distill:
+        detail = measure_distill()
+        print(
+            json.dumps(
+                {
+                    "metric": "distill_train_clips_per_sec_b32_fwd_bwd",
+                    "value": detail["distill_clips_per_sec"],
+                    "unit": "clips/s",
+                    "vs_baseline": round(
+                        detail["distill_clips_per_sec"] / BASELINE_CLIPS_PER_SEC, 3
+                    ),
+                    "detail": detail,
+                }
+            )
+        )
+        return
 
     if args.infer:
         detail = measure_infer()

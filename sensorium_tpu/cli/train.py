@@ -22,6 +22,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import copy
 import json
 import shutil
@@ -58,6 +59,13 @@ def parse_arguments():
     parser.add_argument("--resume", action="store_true",
                         help="resume each fold from its train_state.ckpt")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="numerical sanitizer: raise (with traceback) at "
+                             "the first NaN-producing op")
+    parser.add_argument("--trace", default=None, type=str, metavar="DIR",
+                        help="capture a jax.profiler device trace of the "
+                             "first trained fold into DIR (use with a short "
+                             "run: traces grow with wall time)")
     parser.add_argument("--fold-procs", default=1, type=int,
                         help="train up to N CV folds concurrently, one "
                              "subprocess per fold (the reference trains "
@@ -337,16 +345,27 @@ def main():
     if mesh is not None:
         print("Mesh:", dict(mesh.shape))
 
-    for fold_split in folds_splits:
+    if args.debug_nans:
+        from sensorium_tpu.utils.profiling import debug_nans
+
+        debug_nans(True)
+
+    for fold_index, fold_split in enumerate(folds_splits):
         fold_dir = experiment_dir / fold_split
         val_splits = [fold_split]
         train_splits = sorted(set(constants.folds_splits) - set(val_splits))
         print(f"Val fold: {val_splits}, train folds: {train_splits}")
+        trace_ctx = contextlib.nullcontext()
+        if args.trace and fold_index == 0:
+            from sensorium_tpu.utils.profiling import trace
+
+            trace_ctx = trace(args.trace)
         try:
-            train_mouse(
-                config, fold_dir, train_splits, val_splits,
-                mesh=mesh, seed=args.seed, resume=args.resume,
-            )
+            with trace_ctx:
+                train_mouse(
+                    config, fold_dir, train_splits, val_splits,
+                    mesh=mesh, seed=args.seed, resume=args.resume,
+                )
         except TrainingPreempted as preempted:
             print(f"Preempted: {preempted}. Rerun with --resume to continue.")
             raise SystemExit(75)  # EX_TEMPFAIL

@@ -35,6 +35,44 @@ def write_config_file(configs_dir: Path, name: str) -> None:
 
 
 @pytest.mark.baseline
+def test_train_cli_debug_nans_and_trace(tmp_path):
+    """Sequential CLI run with the sanitizer + profiler flags wired."""
+    data_dir = tmp_path / "data"
+    (data_dir / "sensorium_all_2023").mkdir(parents=True)
+    build_synthetic_dataset(data_dir / "sensorium_all_2023")
+    configs_dir = tmp_path / "configs"
+    write_config_file(configs_dir, "tiny_dbg")
+    trace_dir = tmp_path / "trace"
+
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(REPO_ROOT),
+        SENSORIUM_DATA_DIR=str(data_dir),
+        SENSORIUM_CONFIGS_DIR=str(configs_dir),
+        SENSORIUM_FOLD_ASSIGNMENT="trial",
+        SENSORIUM_JAX_PLATFORM="cpu",
+        SENSORIUM_NATIVE="0",
+        SENSORIUM_JAX_CACHE="0",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "sensorium_tpu.cli.train",
+            "-e", "tiny_dbg", "-f", "3", "--no-mesh", "--seed", "0",
+            "--debug-nans", "--trace", str(trace_dir),
+        ],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    fold_dir = data_dir / "experiments" / "tiny_dbg" / "fold_3"
+    assert list(fold_dir.glob("model-*.ckpt"))
+    assert any(trace_dir.rglob("*"))  # profiler wrote trace artifacts
+
+
+@pytest.mark.baseline
 def test_fold_procs_parallel_training(tmp_path):
     data_dir = tmp_path / "data"
     (data_dir / "sensorium_all_2023").mkdir(parents=True)
