@@ -191,6 +191,37 @@ class TestConfig4Distillation:
         assert get_best_model_path(student_dir) is not None
 
 
+class TestOldMiceFoldsEvaluation:
+    def test_predict_folds_old_dataset(self, seven_fold_experiment):
+        """Reference `-d old` flow: old mice's (back-filled) labeled trials
+        get out-of-fold predictions and a CV evaluation JSON."""
+        from sensorium_tpu.cli.predict import predict_folds
+        from sensorium_tpu.infer.submission import evaluate_folds_predictions
+
+        predict_folds(seven_fold_experiment, "old", chunk_size=8)
+        result = evaluate_folds_predictions(seven_fold_experiment, "old")
+
+        assert set(result["correlations"]) == set(constants.old_mice)
+        assert np.isfinite(result["mean_correlation"])
+        assert (
+            constants.predictions_dir
+            / seven_fold_experiment
+            / "out-of-fold"
+            / "evaluate_old.json"
+        ).exists()
+        for mouse in constants.old_mice:
+            files = list(
+                (
+                    constants.predictions_dir
+                    / seven_fold_experiment
+                    / "out-of-fold"
+                    / mouse
+                ).glob("*.npy")
+            )
+            # One labeled trial per fold under the identity-phash mock.
+            assert len(files) == 7
+
+
 class TestConfig5SevenFoldEnsemble:
     def test_unlabeled_seven_fold_average_and_submission(self, seven_fold_experiment):
         """BASELINE config 5: all 7 fold models averaged per unlabeled
