@@ -74,7 +74,35 @@ def parse_arguments():
     parser.add_argument("--pin-chips", action="store_true",
                         help="pin each fold subprocess to one TPU chip "
                              "(subprocess slot i -> chip i)")
+    parser.add_argument("--multihost", default=None, type=str, metavar="SPEC",
+                        help="multi-host data-parallel training via "
+                             "jax.distributed: 'auto' (TPU pod metadata) or "
+                             "'COORD_ADDR,NUM_PROCESSES,PROCESS_ID'; run the "
+                             "same command on every host")
     return parser.parse_args()
+
+
+def init_multihost(spec: str) -> None:
+    """``jax.distributed.initialize`` from a CLI spec (before backend init).
+
+    Batches stay GLOBAL: the seeded datasets produce identical arrays on
+    every host and each process contributes its local device shards
+    (``parallel.mesh.shard_batch``).  File artifacts (checkpoints, logs,
+    config snapshots) are written by process 0 only.
+    """
+    if spec == "auto":
+        jax.distributed.initialize()
+    else:
+        coordinator, num_processes, process_id = spec.rsplit(",", 2)
+        jax.distributed.initialize(
+            coordinator,
+            num_processes=int(num_processes),
+            process_id=int(process_id),
+        )
+    print(
+        f"Multihost: process {jax.process_index()}/{jax.process_count()}, "
+        f"{len(jax.devices())} global devices"
+    )
 
 
 def chip_pinning_env(slot: int) -> dict[str, str]:
@@ -261,16 +289,20 @@ def train_mouse(
         print(f"Resumed from epoch {start_epoch}")
 
     save_dir.mkdir(parents=True, exist_ok=True)
+    # Multi-process training: file artifacts (logs, checkpoints, preemption
+    # state) are process-0's job; other hosts train the same global step.
+    is_primary = jax.process_index() == 0
     # One handler spans all stages: a signal latched near a stage boundary
     # must not be lost when a per-stage handler scope ends.
     with PreemptionHandler() as preemption:
         for num_epochs, stage in zip(config["num_epochs"], config["stages"]):
-            callbacks = [
-                LoggingToFile(save_dir / "log.txt", append=True),
-                LoggingToCSV(save_dir / "log.csv", append=True),
-                Timer(),
-            ]
-            if stage != "warmup":
+            callbacks = [Timer()]
+            if is_primary:
+                callbacks += [
+                    LoggingToFile(save_dir / "log.txt", append=True),
+                    LoggingToCSV(save_dir / "log.csv", append=True),
+                ]
+            if stage != "warmup" and is_primary:
                 callbacks.append(
                     Checkpoint(
                         save_dir,
@@ -296,7 +328,9 @@ def train_mouse(
                 stage=stage,
                 start_epoch=stage_start + skip,
                 preemption=preemption,
-                preemption_save_path=save_dir / "train_state.ckpt",
+                preemption_save_path=(
+                    save_dir / "train_state.ckpt" if is_primary else None
+                ),
             )
     return model
 
@@ -311,10 +345,25 @@ def main():
     platform = os.environ.get("SENSORIUM_JAX_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    cpu_devices = os.environ.get("SENSORIUM_CPU_DEVICES")
+    if cpu_devices:
+        jax.config.update("jax_num_cpu_devices", int(cpu_devices))
 
     enable_compilation_cache()
     args = parse_arguments()
     print("Experiment:", args.experiment)
+
+    if args.multihost:
+        if args.fold_procs > 1:
+            raise SystemExit("--multihost and --fold-procs are mutually exclusive")
+        if args.no_mesh:
+            raise SystemExit("--multihost requires a device mesh")
+        if args.mesh != "data":
+            print("Tensor parallelism across hosts is unsupported; using a "
+                  "data-parallel mesh")
+            args.mesh = "data"
+        init_multihost(args.multihost)
+    is_primary = args.multihost is None or jax.process_index() == 0
 
     config_path = constants.configs_dir / f"{args.experiment}.py"
     if not config_path.exists():
@@ -323,12 +372,13 @@ def main():
 
     experiment_dir = constants.experiments_dir / args.experiment
     experiment_dir.mkdir(parents=True, exist_ok=True)
-    # Reproducibility snapshot (reference scripts/train.py:167-171): the
-    # resolved config (JSON), the raw config source, and the train entry.
-    with open(experiment_dir / "config.json", "w") as outfile:
-        json.dump(config, outfile, indent=4, default=str)
-    shutil.copy(config_path, experiment_dir / config_path.name)
-    shutil.copy(Path(__file__).resolve(), experiment_dir / "train.py")
+    if is_primary:
+        # Reproducibility snapshot (reference scripts/train.py:167-171): the
+        # resolved config (JSON), the raw config source, and the train entry.
+        with open(experiment_dir / "config.json", "w") as outfile:
+            json.dump(config, outfile, indent=4, default=str)
+        shutil.copy(config_path, experiment_dir / config_path.name)
+        shutil.copy(Path(__file__).resolve(), experiment_dir / "train.py")
 
     if args.folds == "all":
         folds_splits = constants.folds_splits

@@ -168,8 +168,42 @@ class MouseModel:
             self._metric_stats_fns[key] = jax.jit(metric.batch_stats)
         return self._metric_stats_fns[key]
 
+    def _pad_batch_to_mesh(self, inputs, targets, weights):
+        """Zero-weight-pad a ragged EVAL batch up to the data-axis multiple.
+
+        Exact for evaluation by construction: ``MicePoissonLoss``
+        normalizes the weight matrix to sum 1 (zero-weight rows contribute
+        nothing), the correlation metric masks samples by ``weights != 0``,
+        and eval-mode BN uses running statistics, so padded rows never leak
+        into any reported number.  NOT used for training steps — there
+        batch statistics are computed over every row, so a ragged train
+        batch must be dropped (``drop_last=True``), not padded.
+        """
+        if self.mesh is None:
+            return inputs, targets, weights
+        num_data = self.mesh.shape.get("data", 1)
+        remainder = (-inputs.shape[0]) % num_data
+        if remainder == 0:
+            return inputs, targets, weights
+
+        def pad(a):
+            a = np.asarray(a)
+            return np.concatenate(
+                [a, np.zeros((remainder,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        return pad(inputs), pad(targets), pad(weights)
+
     def train_step(self, batch) -> float:
         step = self._ensure_train_step()
+        if self.mesh is not None:
+            num_data = self.mesh.shape.get("data", 1)
+            if batch.inputs.shape[0] % num_data:
+                raise ValueError(
+                    f"Train batch of {batch.inputs.shape[0]} does not divide "
+                    f"the data axis ({num_data}); use drop_last=True — "
+                    "padding would alter BN batch statistics"
+                )
         inputs, targets, weights = mesh_lib.shard_batch(
             self.mesh, batch.inputs, batch.targets, batch.weights
         )
@@ -185,7 +219,8 @@ class MouseModel:
         computed on device without a second host->device upload."""
         step = self._ensure_val_step()
         inputs, targets, weights = mesh_lib.shard_batch(
-            self.mesh, batch.inputs, batch.targets, batch.weights
+            self.mesh,
+            *self._pad_batch_to_mesh(batch.inputs, batch.targets, batch.weights),
         )
         loss, prediction = step(
             self.state.eval_params, self.state.eval_batch_stats, inputs, targets, weights

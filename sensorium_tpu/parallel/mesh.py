@@ -43,10 +43,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh | None, *arrays):
-    """Device-put arrays batch-sharded (replicated scalars pass through)."""
+    """Device-put arrays batch-sharded (replicated scalars pass through).
+
+    Multi-process (``jax.distributed``) meshes: every process must pass the
+    identical GLOBAL batch (the seeded datasets/loaders are deterministic,
+    so all hosts compute the same arrays); each process then contributes
+    only the shards living on its local devices.
+    """
     if mesh is None:
         return jax.device_put(arrays)
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
+            for a in arrays
+        )
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
