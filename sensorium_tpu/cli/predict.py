@@ -29,6 +29,9 @@ def parse_arguments():
                              "(the reference's --device cuda:0, TPU-flavored)")
     parser.add_argument("--chunk-size", default=32, type=int,
                         help="sliding-window anchors per device batch")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard each chunk's window forwards over all "
+                             "local devices (data-parallel inference)")
     return parser.parse_args()
 
 
@@ -57,7 +60,9 @@ def _fold_model_path(experiment: str, fold_split: str):
     return model_path
 
 
-def predict_folds(experiment: str, dataset: str, chunk_size: int = 32) -> None:
+def predict_folds(
+    experiment: str, dataset: str, chunk_size: int = 32, mesh=None
+) -> None:
     """Out-of-fold predictions: each fold's trials by that fold's model.
 
     One Predictor per fold (7 checkpoint loads total), reused across mice —
@@ -67,7 +72,7 @@ def predict_folds(experiment: str, dataset: str, chunk_size: int = 32) -> None:
     for fold_split in constants.folds_splits:
         predictor = Predictor(
             _fold_model_path(experiment, fold_split),
-            blend_weights="ones", chunk_size=chunk_size,
+            blend_weights="ones", chunk_size=chunk_size, mesh=mesh,
         )
         for mouse in constants.dataset2mice[dataset]:
             mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
@@ -75,14 +80,14 @@ def predict_folds(experiment: str, dataset: str, chunk_size: int = 32) -> None:
 
 
 def predict_unlabeled_split(
-    experiment: str, split: str, dataset: str, chunk_size: int = 32
+    experiment: str, split: str, dataset: str, chunk_size: int = 32, mesh=None
 ) -> None:
     """Average all fold models' predictions per unlabeled trial."""
     print(f"Predict unlabeled split: {experiment=}, {split=}, {dataset=}")
     predictors = [
         Predictor(
             _fold_model_path(experiment, fold_split),
-            blend_weights="ones", chunk_size=chunk_size,
+            blend_weights="ones", chunk_size=chunk_size, mesh=mesh,
         )
         for fold_split in constants.folds_splits
     ]
@@ -101,12 +106,24 @@ def main():
     enable_compilation_cache()
     args = parse_arguments()
     device = select_device(args.device)
+    mesh = None
+    if args.mesh:
+        from sensorium_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        if args.chunk_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--chunk-size {args.chunk_size} must divide the data axis "
+                f"({mesh.shape['data']} devices)"
+            )
     with jax.default_device(device) if device is not None else contextlib.nullcontext():
         if args.split == "folds":
-            predict_folds(args.experiment, args.dataset, args.chunk_size)
+            predict_folds(args.experiment, args.dataset, args.chunk_size, mesh=mesh)
             evaluate_folds_predictions(args.experiment, args.dataset)
         else:
-            predict_unlabeled_split(args.experiment, args.split, args.dataset, args.chunk_size)
+            predict_unlabeled_split(
+                args.experiment, args.split, args.dataset, args.chunk_size, mesh=mesh
+            )
             if args.dataset == "new":
                 make_submission(args.experiment, args.split)
 

@@ -229,8 +229,14 @@ class TestConfig5SevenFoldEnsemble:
         from sensorium_tpu.cli.predict import predict_unlabeled_split
         from sensorium_tpu.infer.submission import make_submission
 
+        from sensorium_tpu.parallel.mesh import create_mesh
+
         split = "live_test_main"
-        predict_unlabeled_split(seven_fold_experiment, split, "new", chunk_size=8)
+        # Exercise the CLI's --mesh path: chunk forwards sharded over the
+        # virtual 8-device mesh.
+        predict_unlabeled_split(
+            seven_fold_experiment, split, "new", chunk_size=8, mesh=create_mesh()
+        )
         for mouse in constants.new_mice:
             files = list(
                 (constants.predictions_dir / seven_fold_experiment / split / mouse).glob(
