@@ -113,8 +113,8 @@ def main():
         mesh = create_mesh()
         if args.chunk_size % mesh.shape["data"]:
             raise SystemExit(
-                f"--chunk-size {args.chunk_size} must divide the data axis "
-                f"({mesh.shape['data']} devices)"
+                f"--chunk-size {args.chunk_size} must be a multiple of the "
+                f"data-axis size ({mesh.shape['data']} devices)"
             )
     with jax.default_device(device) if device is not None else contextlib.nullcontext():
         if args.split == "folds":

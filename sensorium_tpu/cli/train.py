@@ -132,12 +132,19 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
     holds no chip.
 
     Exit code propagation: 75 (EX_TEMPFAIL, preemption) if any child was
-    preempted, 1 if any child failed, 0 otherwise.
+    preempted or the parent caught SIGTERM/SIGINT (children are SIGTERMed
+    so they save their own resume state), 1 if any child failed, 0
+    otherwise.
     """
     import os
+    import signal
     import subprocess
     import sys
     import time
+
+    if args.mesh != "data":
+        print("[fold-procs] note: --mesh is ignored — each fold runs "
+              "single-device by design")
 
     pending = list(folds_splits)
     running: dict = {}
@@ -145,9 +152,22 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
     free_slots = list(range(max(1, args.fold_procs)))
     repo_root = Path(__file__).resolve().parent.parent.parent
 
+    # Preemption: forward SIGTERM/SIGINT to the children (each saves its
+    # own resume state and exits 75) and report 75 ourselves.
+    terminated = {"signal": None}
+
+    def on_signal(signum, frame):
+        terminated["signal"] = signum
+        for proc in list(running):
+            proc.terminate()
+
+    previous_handlers = {
+        sig: signal.signal(sig, on_signal) for sig in (signal.SIGTERM, signal.SIGINT)
+    }
+
     try:
-        while pending or running:
-            while pending and free_slots:
+        while (pending or running) and terminated["signal"] is None:
+            while pending and free_slots and terminated["signal"] is None:
                 fold = pending.pop(0)
                 slot = free_slots.pop(0)
                 cmd = [
@@ -159,6 +179,10 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                 ]
                 if args.resume:
                     cmd.append("--resume")
+                if args.debug_nans:
+                    cmd.append("--debug-nans")
+                if args.trace:
+                    cmd += ["--trace", str(Path(args.trace) / fold)]
                 env = dict(os.environ)
                 env["PYTHONPATH"] = os.pathsep.join(
                     [str(repo_root)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
@@ -181,11 +205,28 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                 free_slots.append(slot)
                 exit_codes[fold] = proc.returncode
                 print(f"[fold-procs] finished {fold} rc={proc.returncode}")
+
+        # Parent preempted: wait for the signaled children to save their
+        # resume state and exit, then reap them.
+        for proc in list(running):
+            fold, slot, logfile = running.pop(proc)
+            try:
+                exit_codes[fold] = proc.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                exit_codes[fold] = proc.wait()
+            logfile.close()
     finally:
         for proc, (fold, _, logfile) in running.items():
             proc.terminate()
             logfile.close()
+        for sig, handler in previous_handlers.items():
+            signal.signal(sig, handler)
 
+    if terminated["signal"] is not None:
+        print(f"[fold-procs] caught signal {terminated['signal']}; children "
+              "saved their resume state. Rerun with --resume.")
+        raise SystemExit(75)
     preempted = sorted(f for f, rc in exit_codes.items() if rc == 75)
     failed = sorted(f for f, rc in exit_codes.items() if rc not in (0, 75))
     if preempted:
@@ -283,10 +324,34 @@ def train_mouse(
 
     model.build_state(seed=seed, learning_rate=schedule)
     start_epoch = 0
-    if resume and (save_dir / "train_state.ckpt").exists():
-        extra = model.load_train_state(save_dir / "train_state.ckpt")
-        start_epoch = int(extra.get("epoch", -1)) + 1
-        print(f"Resumed from epoch {start_epoch}")
+    if resume:
+        ckpt_path = save_dir / "train_state.ckpt"
+        local_epoch = -2  # sentinel: no checkpoint on this host
+        if ckpt_path.exists():
+            extra = model.load_train_state(ckpt_path)
+            local_epoch = int(extra.get("epoch", -1))
+        if jax.process_count() > 1:
+            # The resume state is written by process 0 only; if the
+            # experiment dir is not on storage shared by every host, the
+            # other processes would silently restart from fresh-init
+            # params while process 0 resumes — desynchronizing the
+            # replicated state. Cross-check before training.
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            epochs = np.asarray(
+                multihost_utils.process_allgather(np.int64(local_epoch))
+            ).ravel()
+            if len(set(epochs.tolist())) > 1:
+                raise RuntimeError(
+                    "--resume sees inconsistent train_state.ckpt across "
+                    f"hosts (per-process epochs {epochs.tolist()}, -2 = "
+                    "missing); multihost resume requires the experiment "
+                    "dir on storage shared by every process"
+                )
+        if local_epoch >= -1:
+            start_epoch = local_epoch + 1
+            print(f"Resumed from epoch {start_epoch}")
 
     save_dir.mkdir(parents=True, exist_ok=True)
     # Multi-process training: file artifacts (logs, checkpoints, preemption

@@ -162,10 +162,14 @@ class MouseModel:
         return self._val_step
 
     def _metric_stats(self, metric):
-        """Jitted per-batch sufficient-statistics reducer for a metric."""
-        key = id(metric)
+        """Jitted per-batch sufficient-statistics reducer for a metric.
+
+        Keyed by the underlying ``batch_stats`` function (NOT ``id(metric)``
+        — object ids are recycled after garbage collection, which could
+        hand a future metric a stale reducer)."""
+        key = metric.batch_stats
         if key not in self._metric_stats_fns:
-            self._metric_stats_fns[key] = jax.jit(metric.batch_stats)
+            self._metric_stats_fns[key] = jax.jit(key)
         return self._metric_stats_fns[key]
 
     def _pad_batch_to_mesh(self, inputs, targets, weights):
@@ -315,8 +319,14 @@ class MouseModel:
                                 jax.device_get(counts), jax.device_get(sums)
                             )
                         else:
+                            # The prediction may carry mesh-padding rows
+                            # beyond the true batch; slice them off before
+                            # mixing with the unpadded host arrays.
+                            true_batch = np.asarray(batch.weights).shape[0]
                             metric.update(
-                                jax.device_get(prediction), batch.targets, batch.weights
+                                jax.device_get(prediction)[:, :true_batch],
+                                batch.targets,
+                                batch.weights,
                             )
                 engine_state.metrics["val_loss"] = float(
                     np.mean([jax.device_get(l) for l in val_losses])

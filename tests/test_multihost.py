@@ -30,6 +30,26 @@ def free_port() -> int:
         return sock.getsockname()[1]
 
 
+def run_cluster(env, port):
+    """Launch the two train processes against a shared coordinator port."""
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "sensorium_tpu.cli.train",
+                "-e", "tiny_mh", "-f", "2", "--seed", "0",
+                "--multihost", f"localhost:{port},2,{pid}",
+            ],
+            env=env,
+            cwd=REPO_ROOT,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    return procs, [p.communicate(timeout=1500)[0] for p in procs]
+
+
 @pytest.mark.baseline
 def test_multihost_two_process_training(tmp_path):
     data_dir = tmp_path / "data"
@@ -54,23 +74,13 @@ def test_multihost_two_process_training(tmp_path):
         SENSORIUM_NATIVE="0",
         SENSORIUM_JAX_CACHE="0",
     )
-    port = free_port()
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, "-m", "sensorium_tpu.cli.train",
-                "-e", "tiny_mh", "-f", "2", "--seed", "0",
-                "--multihost", f"localhost:{port},2,{pid}",
-            ],
-            env=env,
-            cwd=REPO_ROOT,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outputs = [p.communicate(timeout=1500)[0] for p in procs]
+    # The coordinator port is picked-then-released, so another process can
+    # steal it in the window; retry with a fresh port on bind failure.
+    for attempt in range(3):
+        procs, outputs = run_cluster(env, free_port())
+        if not any("Failed to bind" in out or "address already in use" in out.lower()
+                   for out in outputs):
+            break
     for pid, (proc, out) in enumerate(zip(procs, outputs)):
         assert proc.returncode == 0, f"process {pid} failed:\n{out}"
         assert "Multihost: process" in out

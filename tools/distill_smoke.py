@@ -19,9 +19,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import math
+
     from bench import measure_distill
 
-    print(json.dumps(measure_distill()))
+    detail = measure_distill()
+    assert math.isfinite(detail["loss_last"]), f"non-finite loss: {detail}"
+    print(
+        json.dumps(
+            {
+                "metric": "distill_train_clips_per_sec",
+                "value": detail["distill_clips_per_sec"],
+                **detail,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
