@@ -236,7 +236,8 @@ def measure_loader() -> dict:
                     get_responses_processor("identity", {}),
                     mouse_epoch_size=epoch_size // constants.num_mice,
                 )
-                loader = MiceDataLoader(dataset, batch_size=BATCH, num_threads=8)
+                num_threads = int(os.environ.get("SENSORIUM_LOADER_THREADS", "8"))
+                loader = MiceDataLoader(dataset, batch_size=BATCH, num_threads=num_threads)
                 n = 0
                 start = time.perf_counter()
                 for batch in loader:
@@ -376,8 +377,47 @@ def main():
     parser.add_argument("--infer", action="store_true", help="predictor throughput")
     parser.add_argument("--distill", action="store_true",
                         help="distillation training throughput (student+teacher)")
+    parser.add_argument("--all", action="store_true",
+                        help="run every mode (train, distill, infer, loader) in "
+                             "fresh subprocesses; print one combined JSON line")
     parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     args = parser.parse_args()
+
+    if args.all:
+        import subprocess
+
+        combined = {}
+        for mode, flag in [
+            ("train", None),
+            ("distill", "--distill"),
+            ("infer", "--infer"),
+            ("loader", "--loader"),
+        ]:
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if flag:
+                cmd.append(flag)
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                combined[mode] = {"error": proc.stderr[-500:]}
+            else:
+                combined[mode] = json.loads(proc.stdout.strip().splitlines()[-1])
+        headline = combined["train"].get("value")
+        print(
+            json.dumps(
+                {
+                    "metric": "train_clips_per_sec_per_chip_b32_fwd_bwd",
+                    "value": headline,
+                    "unit": "clips/s",
+                    "vs_baseline": round(headline / BASELINE_CLIPS_PER_SEC, 3)
+                    if headline else None,
+                    "detail": combined,
+                }
+            )
+        )
+        return
 
     from sensorium_tpu.utils.cache import enable_compilation_cache
 
