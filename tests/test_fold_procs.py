@@ -117,3 +117,13 @@ def test_fold_procs_parallel_training(tmp_path):
         assert (fold_dir / "log.txt").exists()
         assert (fold_dir / "log.csv").exists()
         assert proc_log.exists()
+
+
+def test_chip_pinning_env():
+    from sensorium_tpu.cli.train import chip_pinning_env
+
+    env = chip_pinning_env(3)
+    assert env["TPU_VISIBLE_DEVICES"] == "3"
+    assert env["TPU_VISIBLE_CHIPS"] == "3"
+    assert env["TPU_PROCESS_BOUNDS"] == "1,1,1"
+    assert env["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1"

@@ -172,3 +172,52 @@ class TestDryrun:
 
         graft.dryrun_multichip(8)
         assert "ok" in capsys.readouterr().out
+
+
+class TestRaggedBatches:
+    """Mesh + non-divisible batch sizes (engine/model._pad_batch_to_mesh)."""
+
+    def test_ragged_val_batch_padded_and_exact(self, mesh):
+        """A val batch that does not divide the data axis is zero-weight
+        padded; loss and metric stats must equal the unsharded run."""
+        rng = np.random.default_rng(1)
+        batch = random_batch(rng, batch=6)  # 6 % 4 != 0
+
+        params = tiny_params()
+        single = MouseModel(params)
+        single.build_state(seed=0, learning_rate=1e-3)
+        loss_single, pred_single, *_ = single.val_step(batch)
+
+        sharded = MouseModel(params, mesh=mesh)
+        sharded.build_state(seed=0, learning_rate=1e-3)
+        loss_sharded, pred_sharded, targets_dev, weights_dev = sharded.val_step(batch)
+
+        assert pred_sharded.shape[1] == 8  # padded to the data axis
+        np.testing.assert_allclose(
+            float(loss_sharded), float(loss_single), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pred_sharded)[:, :6], np.asarray(pred_single), rtol=1e-4, atol=1e-5
+        )
+
+        from sensorium_tpu.engine.metrics import batch_corr_stats
+
+        counts, sums = jax.jit(batch_corr_stats)(
+            pred_sharded, targets_dev, weights_dev
+        )
+        ref_counts, ref_sums = jax.jit(batch_corr_stats)(
+            pred_single, jnp.asarray(batch.targets), jnp.asarray(batch.weights)
+        )
+        np.testing.assert_allclose(np.asarray(counts), np.asarray(ref_counts))
+        np.testing.assert_allclose(
+            np.asarray(sums), np.asarray(ref_sums), rtol=1e-4, atol=1e-3
+        )
+
+    def test_ragged_train_batch_rejected(self, mesh):
+        """Padding a TRAIN batch would alter BN statistics -> loud error."""
+        rng = np.random.default_rng(2)
+        batch = random_batch(rng, batch=6)
+        model = MouseModel(tiny_params(), mesh=mesh)
+        model.build_state(seed=0, learning_rate=1e-3)
+        with pytest.raises(ValueError, match="drop_last"):
+            model.train_step(batch)
