@@ -66,11 +66,12 @@ def parse_arguments():
                         help="capture a jax.profiler device trace of the "
                              "first trained fold into DIR (use with a short "
                              "run: traces grow with wall time)")
-    parser.add_argument("--fold-procs", default=1, type=int,
+    parser.add_argument("--fold-procs", default=1,
                         help="train up to N CV folds concurrently, one "
                              "subprocess per fold (the reference trains "
-                             "folds sequentially); combine with --pin-chips "
-                             "on a multi-chip TPU host")
+                             "folds sequentially); 'auto' probes the local "
+                             "chip count; combine with --pin-chips on a "
+                             "multi-chip TPU host")
     parser.add_argument("--pin-chips", action="store_true",
                         help="pin each fold subprocess to one TPU chip "
                              "(subprocess slot i -> chip i)")
@@ -103,6 +104,36 @@ def init_multihost(spec: str) -> None:
         f"Multihost: process {jax.process_index()}/{jax.process_count()}, "
         f"{len(jax.devices())} global devices"
     )
+
+
+def probe_device_count() -> int:
+    """Local accelerator count, probed in a THROWAWAY subprocess.
+
+    The orchestrating parent must never initialize a JAX backend (a TPU
+    process owns every chip it touches, starving the fold children), so
+    the probe initializes — and, by exiting, releases — the backend in a
+    child process.
+    """
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"device-count probe failed:\n{proc.stderr[-1000:]}")
+    return int(proc.stdout.strip().splitlines()[-1])
+
+
+def resolve_fold_procs(value) -> int:
+    if value == "auto":
+        count = probe_device_count()
+        print(f"[fold-procs] auto: {count} local devices")
+        return count
+    return int(value)
 
 
 def chip_pinning_env(slot: int) -> dict[str, str]:
@@ -417,6 +448,7 @@ def main():
     enable_compilation_cache()
     args = parse_arguments()
     print("Experiment:", args.experiment)
+    args.fold_procs = resolve_fold_procs(args.fold_procs)
 
     if args.multihost:
         if args.fold_procs > 1:

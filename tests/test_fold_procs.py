@@ -127,3 +127,72 @@ def test_chip_pinning_env():
     assert env["TPU_VISIBLE_CHIPS"] == "3"
     assert env["TPU_PROCESS_BOUNDS"] == "1,1,1"
     assert env["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1"
+
+
+@pytest.mark.baseline
+def test_fold_procs_sigterm_preemption(tmp_path):
+    """SIGTERM to the orchestrating parent forwards to the fold children
+    (each saves resume state) and exits 75 (EX_TEMPFAIL)."""
+    import signal
+    import time
+
+    data_dir = tmp_path / "data"
+    (data_dir / "sensorium_all_2023").mkdir(parents=True)
+    build_synthetic_dataset(data_dir / "sensorium_all_2023")
+    configs_dir = tmp_path / "configs"
+    # Long-enough run that the signal lands mid-training.
+    config = tiny_experiment_config()
+    config["num_epochs"] = [2, 20]
+    config["train_epoch_size"] = 40
+    configs_dir.mkdir(parents=True, exist_ok=True)
+    (configs_dir / "tiny_pe.py").write_text(f"config = {config!r}\n")
+
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(REPO_ROOT),
+        SENSORIUM_DATA_DIR=str(data_dir),
+        SENSORIUM_CONFIGS_DIR=str(configs_dir),
+        SENSORIUM_FOLD_ASSIGNMENT="trial",
+        SENSORIUM_JAX_PLATFORM="cpu",
+        SENSORIUM_NATIVE="0",
+        SENSORIUM_JAX_CACHE="0",
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "sensorium_tpu.cli.train",
+            "-e", "tiny_pe", "-f", "1,2", "--fold-procs", "2", "--seed", "0",
+        ],
+        env=env,
+        cwd=REPO_ROOT,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # Wait until the child fold has completed an epoch (its logging file
+    # handler flushes per record — the stdout tee is block-buffered), then
+    # preempt the parent.
+    deadline = time.monotonic() + 300
+    fold_log = data_dir / "experiments" / "tiny_pe" / "fold_1" / "log.txt"
+    while time.monotonic() < deadline:
+        if fold_log.exists() and "epoch" in fold_log.read_text():
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.5)
+    assert proc.poll() is None, f"orchestrator exited early:\n{proc.communicate()[0]}"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=180)
+
+    assert proc.returncode == 75, f"rc={proc.returncode}\n{out}"
+    assert "caught signal" in out
+    # The child saved its resume state on the forwarded SIGTERM.
+    assert (data_dir / "experiments" / "tiny_pe" / "fold_1" / "train_state.ckpt").exists(), out
+
+
+def test_resolve_fold_procs(monkeypatch):
+    from sensorium_tpu.cli.train import resolve_fold_procs
+
+    assert resolve_fold_procs(3) == 3
+    assert resolve_fold_procs("5") == 5
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert resolve_fold_procs("auto") >= 1  # probe subprocess
