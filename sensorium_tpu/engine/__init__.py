@@ -6,7 +6,7 @@ from sensorium_tpu.engine.callbacks import (  # noqa: F401
     LoggingToFile,
     Timer,
 )
-from sensorium_tpu.engine.ema import ema_set, ema_update  # noqa: F401
+from sensorium_tpu.engine.ema import ema_update  # noqa: F401
 from sensorium_tpu.engine.losses import (  # noqa: F401
     get_loss,
     mice_poisson_distill_loss,

@@ -21,7 +21,3 @@ def ema_update(ema_tree, value_tree, decay: float):
         lambda e, v: e * decay + v.astype(e.dtype) * (1.0 - decay), ema_tree, value_tree
     )
 
-
-def ema_set(ema_tree, value_tree):
-    """Hard-copy the current values into the EMA tree (ModelEma.set)."""
-    return jax.tree_util.tree_map(lambda e, v: v.astype(e.dtype), ema_tree, value_tree)

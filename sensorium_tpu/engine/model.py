@@ -118,8 +118,10 @@ class MouseModel:
         use_ema = self.ema_decay > 0.0
         ema_params = ema_batch_stats = None
         if use_ema:
-            # Separate jit call so the EMA buffers never alias the live
-            # params (the donated train step requires distinct buffers).
+            # Initialize the EMA to a copy of the live values (ModelEma's
+            # deepcopy, /root/reference/src/ema.py) via a separate jit call
+            # so the EMA buffers never alias the live params (the donated
+            # train step requires distinct buffers).
             copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
             ema_params = copy_tree(params)
             ema_batch_stats = copy_tree(batch_stats)
@@ -295,9 +297,13 @@ class MouseModel:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(engine_state.global_epoch)
             losses = []
-            for batch in train_loader:
-                losses.append(self.train_step(batch))
-                check_preempted()
+            # Named span: epochs show up as blocks in `--trace` profiles.
+            from sensorium_tpu.utils.profiling import annotate
+
+            with annotate("train_epoch"):
+                for batch in train_loader:
+                    losses.append(self.train_step(batch))
+                    check_preempted()
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             engine_state.metrics["train_loss"] = train_loss
 
@@ -305,29 +311,32 @@ class MouseModel:
                 for metric in metrics:
                     metric.reset()
                 val_losses = []
-                for batch in val_loader:
-                    loss, prediction, targets_dev, weights_dev = self.val_step(batch)
-                    val_losses.append(loss)
-                    for metric in metrics:
-                        if hasattr(metric, "batch_stats"):
-                            # Reduce to per-neuron sufficient statistics on
-                            # device; only ~(M, N_max, 5) floats cross back.
-                            counts, sums = self._metric_stats(metric)(
-                                prediction, targets_dev, weights_dev
-                            )
-                            metric.update_stats(
-                                jax.device_get(counts), jax.device_get(sums)
-                            )
-                        else:
-                            # The prediction may carry mesh-padding rows
-                            # beyond the true batch; slice them off before
-                            # mixing with the unpadded host arrays.
-                            true_batch = np.asarray(batch.weights).shape[0]
-                            metric.update(
-                                jax.device_get(prediction)[:, :true_batch],
-                                batch.targets,
-                                batch.weights,
-                            )
+                with annotate("validation"):
+                    for batch in val_loader:
+                        loss, prediction, targets_dev, weights_dev = self.val_step(batch)
+                        val_losses.append(loss)
+                        for metric in metrics:
+                            if hasattr(metric, "batch_stats"):
+                                # Reduce to per-neuron sufficient statistics
+                                # on device; only ~(M, N_max, 5) floats
+                                # cross back.
+                                counts, sums = self._metric_stats(metric)(
+                                    prediction, targets_dev, weights_dev
+                                )
+                                metric.update_stats(
+                                    jax.device_get(counts), jax.device_get(sums)
+                                )
+                            else:
+                                # The prediction may carry mesh-padding rows
+                                # beyond the true batch; slice them off
+                                # before mixing with the unpadded host
+                                # arrays.
+                                true_batch = np.asarray(batch.weights).shape[0]
+                                metric.update(
+                                    jax.device_get(prediction)[:, :true_batch],
+                                    batch.targets,
+                                    batch.weights,
+                                )
                 engine_state.metrics["val_loss"] = float(
                     np.mean([jax.device_get(l) for l in val_losses])
                 )
