@@ -15,8 +15,12 @@ Modes (flags):
   (none)      headline training throughput with the default dw backend
   --ab        also measure the alternate dw backend (pallas vs xla A/B);
               the headline value is the faster one
+  --distill   distillation training throughput (student + frozen teacher)
+  --infer     batched sliding-window predictor throughput (windows/s)
   --loader    host input-pipeline throughput (samples/s) on synthetic mmap
               files, native C++ assembly on and off
+  --all       every mode in fresh subprocesses, one combined JSON line
+              (forwards --ab / --trace to the train child)
   --trace DIR additionally capture a jax.profiler trace of the measured steps
 """
 
@@ -386,24 +390,34 @@ def main():
     if args.all:
         import subprocess
 
+        train_flags = []
+        if args.ab:
+            train_flags.append("--ab")
+        if args.trace:
+            train_flags += ["--trace", args.trace]
         combined = {}
-        for mode, flag in [
-            ("train", None),
-            ("distill", "--distill"),
-            ("infer", "--infer"),
-            ("loader", "--loader"),
+        for mode, flags in [
+            ("train", train_flags),
+            ("distill", ["--distill"]),
+            ("infer", ["--infer"]),
+            ("loader", ["--loader"]),
         ]:
-            cmd = [sys.executable, os.path.abspath(__file__)]
-            if flag:
-                cmd.append(flag)
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if proc.returncode != 0:
-                combined[mode] = {"error": proc.stderr[-500:]}
-            else:
-                combined[mode] = json.loads(proc.stdout.strip().splitlines()[-1])
+            cmd = [sys.executable, os.path.abspath(__file__)] + flags
+            # One failed/hung/garbled mode must not lose the others — the
+            # driver contract is exactly one JSON line on stdout.
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                if proc.returncode != 0:
+                    combined[mode] = {"error": proc.stderr[-500:]}
+                else:
+                    combined[mode] = json.loads(proc.stdout.strip().splitlines()[-1])
+            except subprocess.TimeoutExpired:
+                combined[mode] = {"error": "timeout after 3600s"}
+            except (json.JSONDecodeError, IndexError) as exc:
+                combined[mode] = {"error": f"unparseable output: {exc}"}
         headline = combined["train"].get("value")
         print(
             json.dumps(

@@ -117,8 +117,19 @@ def probe_device_count() -> int:
     import subprocess
     import sys
 
+    # The child honors the same overrides main() applies via
+    # jax.config.update (env-only platform selection is unreliable once a
+    # TPU plugin is installed — same pattern as __graft_entry__'s dryrun).
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('SENSORIUM_JAX_PLATFORM')\n"
+        "c = os.environ.get('SENSORIUM_CPU_DEVICES')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "if c: jax.config.update('jax_num_cpu_devices', int(c))\n"
+        "print(len(jax.devices()))"
+    )
     proc = subprocess.run(
-        [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+        [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=300,
@@ -448,10 +459,11 @@ def main():
     enable_compilation_cache()
     args = parse_arguments()
     print("Experiment:", args.experiment)
-    args.fold_procs = resolve_fold_procs(args.fold_procs)
 
     if args.multihost:
-        if args.fold_procs > 1:
+        # Exclusivity checked on the RAW flag: resolving 'auto' spawns a
+        # backend-holding probe subprocess, pointless on a doomed combo.
+        if str(args.fold_procs) != "1":
             raise SystemExit("--multihost and --fold-procs are mutually exclusive")
         if args.no_mesh:
             raise SystemExit("--multihost requires a device mesh")
@@ -460,6 +472,9 @@ def main():
                   "data-parallel mesh")
             args.mesh = "data"
         init_multihost(args.multihost)
+        args.fold_procs = 1
+    else:
+        args.fold_procs = resolve_fold_procs(args.fold_procs)
     is_primary = args.multihost is None or jax.process_index() == 0
 
     config_path = constants.configs_dir / f"{args.experiment}.py"

@@ -33,6 +33,7 @@ from sensorium_tpu.engine.state import TrainState
 from sensorium_tpu.engine.steps import make_predict_step, make_train_step, make_val_step
 from sensorium_tpu.models.registry import get_nn_module
 from sensorium_tpu.parallel import mesh as mesh_lib
+from sensorium_tpu.utils.profiling import annotate
 
 
 class MouseModel:
@@ -298,8 +299,6 @@ class MouseModel:
                 train_loader.set_epoch(engine_state.global_epoch)
             losses = []
             # Named span: epochs show up as blocks in `--trace` profiles.
-            from sensorium_tpu.utils.profiling import annotate
-
             with annotate("train_epoch"):
                 for batch in train_loader:
                     losses.append(self.train_step(batch))
