@@ -154,12 +154,28 @@ class TrainMiceDataset:
         # — unused by the production configs but part of the API surface).
         # Applied to mixer partners too, like the reference.
         self.augmentations = augmentations
+        # Trials shorter than one raw window have no valid anchor; sampling
+        # one would crash mid-epoch inside a loader thread (the reference
+        # has the same latent crash, src/datasets.py:107-116 — real trials
+        # are never that short, but corrupt/truncated files should fail
+        # loudly at construction, not randomly at epoch N).
+        self._valid_trials = []
+        for store, data in zip(self.stores, mice_data):
+            valid = np.flatnonzero(np.asarray(store.trial_lengths) >= indexer.width)
+            if len(valid) == 0:
+                raise ValueError(
+                    f"Mouse '{data['mouse']}' has no trial of at least "
+                    f"{indexer.width} raw frames in splits {data['splits']}"
+                )
+            self._valid_trials.append(valid)
 
     def __len__(self) -> int:
         return constants.num_mice * self.mouse_epoch_size
 
-    def _draw(self, store: MouseTrialStore, rng: np.random.Generator):
-        trial_index = int(rng.integers(len(store.trials)))
+    def _draw(self, mouse_index: int, rng: np.random.Generator):
+        store = self.stores[mouse_index]
+        valid = self._valid_trials[mouse_index]
+        trial_index = int(valid[rng.integers(len(valid))])
         length = store.trial_lengths[trial_index]
         anchor = int(rng.integers(store.indexer.behind, length - store.indexer.ahead))
         inputs, target = store.window_sample(trial_index, anchor)
@@ -172,10 +188,10 @@ class TrainMiceDataset:
         mouse_index = index // self.mouse_epoch_size
         store = self.stores[mouse_index]
         rng = np.random.default_rng((self.seed, epoch, index))
-        inputs, target = self._draw(store, rng)
+        inputs, target = self._draw(mouse_index, rng)
         if self.mixer is not None and self.mixer.use(rng):
             partner_rng = np.random.default_rng((self.seed, epoch, index, 1))
-            partner = self._draw(store, partner_rng)
+            partner = self._draw(mouse_index, partner_rng)
             inputs, target = self.mixer((inputs, target), partner, rng)
         return mouse_index, inputs, target
 

@@ -39,6 +39,15 @@ class StackInputsProcessor(InputsProcessor):
 
         planes = np.transpose(frames.astype(np.float32), (2, 0, 1))  # (T, H, W)
         src_h, src_w = planes.shape[-2:]
+        if src_h > height or src_w > width:
+            # The centering below assumes the frame fits the canvas; with
+            # negative offsets numpy would raise an obscure broadcast error
+            # (the reference has the same latent failure, inputs.py:26-30).
+            raise ValueError(
+                f"Video frame ({src_h}x{src_w}) exceeds the model canvas "
+                f"({height}x{width}); resize the input or enlarge "
+                "inputs_processor.size"
+            )
         h0 = (height - src_h) // 2
         w0 = (width - src_w) // 2
         stacked[0, :, h0 : h0 + src_h, w0 : w0 + src_w] = planes

@@ -41,7 +41,6 @@ def compute_video_phashes(mouse: str) -> np.ndarray:
     return phashes
 
 
-@functools.lru_cache(maxsize=None)
 def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
     """Tier array with labeled trials re-assigned to 'fold_{phash % num_folds}'.
 
@@ -54,13 +53,30 @@ def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
     debug/smoke mode that gives balanced folds on synthetic datasets whose
     videos do not hash uniformly.  The default ('phash') is the reference
     assignment (``/root/reference/src/data.py:20-30``).
+
+    Cached per (mouse, num_folds, assignment mode, dataset root) — the
+    mode and root are part of the key so repointing ``SENSORIUM_DATA_DIR``
+    / ``constants.sensorium_dir`` or flipping the assignment env mid-
+    process cannot silently serve stale fold membership.
     """
     import os
 
+    return _folds_tiers_cached(
+        mouse,
+        num_folds,
+        os.environ.get("SENSORIUM_FOLD_ASSIGNMENT", "phash"),
+        str(constants.sensorium_dir),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _folds_tiers_cached(
+    mouse: str, num_folds: int, assignment: str, root: str
+) -> np.ndarray:
     # Widen the string dtype: assigning "fold_{k}" into a narrow (<U5)
     # array would silently truncate the fold names.
     tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy")).astype("U32")
-    if os.environ.get("SENSORIUM_FOLD_ASSIGNMENT", "phash") == "trial":
+    if assignment == "trial":
         phashes = np.arange(tiers.shape[0], dtype=np.uint64)
     else:
         phashes = compute_video_phashes(mouse)
@@ -71,6 +87,11 @@ def get_folds_tiers(mouse: str, num_folds: int) -> np.ndarray:
     for trial_id in np.argwhere(labeled).ravel():
         tiers[trial_id] = f"fold_{int(phashes[trial_id]) % num_folds}"
     return tiers
+
+
+# Back-compat: callers (tests, bench) clear the fold cache through the
+# public name.
+get_folds_tiers.cache_clear = _folds_tiers_cached.cache_clear
 
 
 def get_mouse_data(mouse: str, splits: list[str]) -> dict:

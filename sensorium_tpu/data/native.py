@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -20,35 +21,58 @@ _LIB_PATH = _NATIVE_DIR / "build" / "libsensorium_host.so"
 
 _lib = None
 _lib_checked = False
+# First-use build+load must be single-flight: the loader fans dataset.get
+# across a thread pool, and two threads racing through here would run two
+# concurrent `make` jobs linking the same .so.
+_load_lock = threading.Lock()
 
 
 def reset() -> None:
     """Drop the cached library handle (re-evaluates SENSORIUM_NATIVE)."""
     global _lib, _lib_checked
-    _lib = None
-    _lib_checked = False
+    with _load_lock:
+        _lib = None
+        _lib_checked = False
 
 
 def _load_library():
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
-    _lib_checked = True
+    with _load_lock:
+        if _lib_checked:
+            return _lib
+        return _load_library_locked()
+
+
+def _load_library_locked():
+    # _lib_checked flips LAST (in the finally): the unlocked fast path in
+    # _load_library must never observe checked=True with _lib mid-build.
+    global _lib, _lib_checked
     import os
 
-    if os.environ.get("SENSORIUM_NATIVE", "1") == "0":
-        return None
     try:
-        if not _LIB_PATH.exists():
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        lib = ctypes.CDLL(str(_LIB_PATH))
-    except (OSError, subprocess.SubprocessError):
-        return None
+        if os.environ.get("SENSORIUM_NATIVE", "1") == "0":
+            return None
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except (OSError, subprocess.SubprocessError):
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+    finally:
+        _lib_checked = True
+
+
+def _configure(lib) -> None:
 
     i64 = ctypes.c_int64
     fp = ctypes.POINTER(ctypes.c_float)
@@ -64,8 +88,6 @@ def _load_library():
         fp,
     ]
     lib.assemble_stack_input.restype = None
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

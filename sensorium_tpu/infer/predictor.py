@@ -77,6 +77,11 @@ class Predictor:
         assert params["responses_processor"][0] == "identity"
         self.indexes_generator = WindowIndexer(frame_stack["size"], frame_stack["step"])
         self.blend_weights = get_blend_weights(blend_weights, frame_stack["size"])
+        if mesh is not None and chunk_size % mesh.shape["data"]:
+            raise ValueError(
+                f"chunk_size {chunk_size} must be a multiple of the mesh "
+                f"data-axis size ({mesh.shape['data']})"
+            )
         self.chunk_size = chunk_size
         self.length_bucket = length_bucket
         self._window_fns: dict[int, callable] = {}
@@ -278,13 +283,25 @@ class Predictor:
 def predict_mouse_split(
     mouse: str, split: str, predictors: list[Predictor], save_dir: Path
 ) -> None:
-    """Blend several predictors (fold models) over one mouse's split trials."""
+    """Blend several predictors (fold models) over one mouse's split trials.
+
+    The trial arrays are loaded from disk ONCE per trial and shared by all
+    predictors (the unlabeled flow blends 7 fold models — per-predictor
+    loading would re-read every multi-MB video 7 times).
+    """
     from sensorium_tpu.data.mouse_data import get_mouse_data
 
     mouse_index = constants.mouse2index[mouse]
     mouse_data = get_mouse_data(mouse=mouse, splits=[split])
     save_dir.mkdir(parents=True, exist_ok=True)
     for trial_data in mouse_data["trials"]:
-        responses = [p.predict_trial_data(trial_data, mouse_index) for p in predictors]
+        length = trial_data["length"]
+        video = np.load(trial_data["video_path"])[..., :length]
+        behavior = np.load(trial_data["behavior_path"])[..., :length]
+        pupil_center = np.load(trial_data["pupil_center_path"])[..., :length]
+        responses = [
+            p.predict_trial(video, behavior, pupil_center, mouse_index)
+            for p in predictors
+        ]
         blend = np.mean(responses, axis=0)
         np.save(str(save_dir / f"{trial_data['trial_id']}.npy"), blend)

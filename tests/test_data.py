@@ -139,3 +139,68 @@ class TestPhash:
         video = rng.integers(0, 255, size=(36, 64, 40)).astype(np.float64)
         padded = np.concatenate([video, np.full((36, 64, 10), np.nan)], axis=-1)
         assert video_phash(video) == video_phash(padded)
+
+
+class TestGuardRails:
+    def test_oversized_frame_raises_clearly(self):
+        from sensorium_tpu.data.inputs import StackInputsProcessor
+
+        proc = StackInputsProcessor(size=(16, 16))
+        frames = np.zeros((20, 30, 4), np.float32)  # 20x30 frame > 16x16 canvas
+        with pytest.raises(ValueError, match="exceeds the model canvas"):
+            proc(frames, np.zeros((2, 4), np.float32), np.zeros((2, 4), np.float32))
+
+    def test_short_trials_rejected_at_construction(self, tmp_path):
+        from sensorium_tpu.data.datasets import TrainMiceDataset
+        from sensorium_tpu.data.indexes import WindowIndexer
+        from sensorium_tpu.data.inputs import get_inputs_processor
+        from sensorium_tpu.data.responses import get_responses_processor
+        from sensorium_tpu import constants
+
+        def fake_mouse_data(mouse, length):
+            video = tmp_path / f"{mouse}_v.npy"
+            np.save(video, np.zeros((4, 4, length), np.float32))
+            return {
+                "mouse": mouse,
+                "splits": ["fold_0"],
+                "num_neurons": 3,
+                "trials": [{
+                    "trial_id": 0, "length": length,
+                    "video_path": str(video), "behavior_path": str(video),
+                    "pupil_center_path": str(video), "response_path": str(video),
+                }],
+            }
+
+        indexer = WindowIndexer(size=4, step=2)  # width 7
+        mice_data = [fake_mouse_data(m, length=5) for m in constants.mice]
+        with pytest.raises(ValueError, match="no trial of at least 7"):
+            TrainMiceDataset(
+                mice_data, indexer,
+                get_inputs_processor("stack_inputs", {"size": (8, 8)}),
+                get_responses_processor("identity", {}),
+                mouse_epoch_size=4,
+            )
+
+    def test_fold_cache_tracks_assignment_env(self, tmp_path, monkeypatch):
+        from sensorium_tpu import constants
+        from sensorium_tpu.data import mouse_data as mouse_data_mod
+
+        mouse = constants.new_mice[0]
+        root = tmp_path / "sensorium_all_2023"
+        (root / mouse / "meta" / "trials").mkdir(parents=True)
+        np.save(root / mouse / "meta" / "trials" / "tiers.npy",
+                np.array(["train"] * 3))
+        monkeypatch.setattr(constants, "sensorium_dir", root)
+        mouse_data_mod.get_folds_tiers.cache_clear()
+        monkeypatch.setattr(
+            mouse_data_mod, "compute_video_phashes",
+            lambda m: np.array([5, 5, 5], np.uint64),
+        )
+
+        phash_tiers = mouse_data_mod.get_folds_tiers(mouse, 7)
+        assert list(phash_tiers) == ["fold_5"] * 3
+        # Flipping the env must NOT be served from the stale cache entry.
+        monkeypatch.setenv("SENSORIUM_FOLD_ASSIGNMENT", "trial")
+        trial_tiers = mouse_data_mod.get_folds_tiers(mouse, 7)
+        assert list(trial_tiers) == ["fold_0", "fold_1", "fold_2"]
+        mouse_data_mod.get_folds_tiers.cache_clear()
