@@ -431,6 +431,11 @@ def main():
                 }
             )
         )
+        # A broken headline must be distinguishable from a measured one:
+        # the combined JSON is printed either way (so the other modes'
+        # numbers survive), but the exit code reports the train failure.
+        if headline is None:
+            sys.exit(1)
         return
 
     from sensorium_tpu.utils.cache import enable_compilation_cache

@@ -47,9 +47,21 @@ def select_device(spec: str | None):
     import jax
 
     platform, _, index = spec.partition(":")
-    jax.config.update("jax_platforms", platform)
-    devices = jax.devices(platform)
-    return devices[int(index)] if index else devices[0]
+    try:
+        jax.config.update("jax_platforms", platform)
+        devices = jax.devices(platform)
+    except RuntimeError as exc:
+        raise SystemExit(
+            f"--device {spec!r}: unknown platform {platform!r} ({exc})"
+        ) from exc
+    try:
+        return devices[int(index)] if index else devices[0]
+    except (ValueError, IndexError) as exc:
+        available = ", ".join(str(d) for d in devices)
+        raise SystemExit(
+            f"--device {spec!r}: bad device index {index!r} "
+            f"(available {platform} devices: {available})"
+        ) from exc
 
 
 def _fold_model_path(experiment: str, fold_split: str):

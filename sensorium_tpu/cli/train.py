@@ -247,6 +247,24 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                 free_slots.append(slot)
                 exit_codes[fold] = proc.returncode
                 print(f"[fold-procs] finished {fold} rc={proc.returncode}")
+                if proc.returncode not in (0, 75) and args.pin_chips:
+                    # Some libtpu generations ignore the TPU_VISIBLE_* pinning
+                    # env and every child races for exclusive ownership of all
+                    # chips; surface that failure mode instead of a bare rc.
+                    try:
+                        tail = (experiment_dir / fold / "train_proc.log").read_text()[-2000:]
+                    except OSError:
+                        tail = ""
+                    if ("Unable to initialize backend" in tail
+                            or "Device or resource busy" in tail
+                            or "already in use" in tail):
+                        print(
+                            f"[fold-procs] {fold}: child backend init failed — "
+                            "this libtpu may not honor the TPU_VISIBLE_DEVICES/"
+                            "TPU_PROCESS_BOUNDS pinning env; retry without "
+                            "--pin-chips (folds then run one at a time) or "
+                            "with --fold-procs 1."
+                        )
 
         # Parent preempted: wait for the signaled children to save their
         # resume state and exit, then reap them.

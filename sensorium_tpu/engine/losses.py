@@ -82,8 +82,60 @@ def mice_poisson_distill_loss(
     return jnp.sum(per_cell * full_weights.T)
 
 
+def _weighted_mice_reduce(elem_fn):
+    """Lift an elementwise loss into the mice-batch weighting skeleton.
+
+    The reference registers every stock torch loss alongside
+    ``mice_poisson`` (argus_models.py:17-20); no shipped config uses them,
+    but configs may name them.  Stock losses here consume the same padded
+    mice batch as ``mice_poisson`` — elementwise loss, per-(mouse, batch)
+    sum, normalized-weight reduce — so swapping the loss name in a config
+    is well-defined.
+    """
+
+    def loss(prediction, target, weights, **kwargs):
+        w = weights / jnp.sum(weights)
+        elem = elem_fn(prediction, target[None], **kwargs)  # (M, B, N, T)
+        per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
+        return jnp.sum(per_cell * w.T)
+
+    return loss
+
+
+def _l1(pred, target):
+    return jnp.abs(pred - target)
+
+
+def _mse(pred, target):
+    return jnp.square(pred - target)
+
+
+def _smooth_l1(pred, target, beta: float = 1.0):
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def _huber(pred, target, delta: float = 1.0):
+    d = jnp.abs(pred - target)
+    return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
+
+
 _LOSSES = {
     "mice_poisson": mice_poisson_loss,
+    # Stock-loss breadth (torch registry names, argus_models.py:17-20).
+    "PoissonNLLLoss": mice_poisson_loss,
+    "L1Loss": _weighted_mice_reduce(_l1),
+    "MSELoss": _weighted_mice_reduce(_mse),
+    "SmoothL1Loss": _weighted_mice_reduce(_smooth_l1),
+    "HuberLoss": _weighted_mice_reduce(_huber),
+}
+
+# Which optional config kwargs each loss accepts (name -> cast).
+_LOSS_KWARGS = {
+    "mice_poisson": {"eps": float},
+    "PoissonNLLLoss": {"eps": float},
+    "SmoothL1Loss": {"beta": float},
+    "HuberLoss": {"delta": float},
 }
 
 
@@ -92,14 +144,19 @@ def get_loss(name: str, loss_params: dict):
     if name not in _LOSSES:
         raise KeyError(f"Unknown loss '{name}'")
     base = _LOSSES[name]
-    eps = float(loss_params.get("eps", 1e-8))
     if loss_params.get("log_input", False):
         raise NotImplementedError("log_input=True is not used by any reference config")
     if loss_params.get("full", False):
         raise NotImplementedError("full=True is not used by any reference config")
+    kwargs = {
+        key: cast(loss_params[key])
+        for key, cast in _LOSS_KWARGS.get(name, {}).items()
+        if key in loss_params
+    }
+    eps = float(loss_params.get("eps", 1e-8))
 
     def loss_fn(prediction, target, weights):
-        return base(prediction, target, weights, eps=eps)
+        return base(prediction, target, weights, **kwargs)
 
     loss_fn.eps = eps  # type: ignore[attr-defined]
     loss_fn.name = name  # type: ignore[attr-defined]

@@ -87,9 +87,9 @@ class CorrelationMetric:
     def update_stats(self, counts, sums) -> None:
         counts = np.asarray(counts, np.float64)
         sums = np.asarray(sums, np.float64)
-        self._counts += counts
-        # Predictions may be padded beyond this metric's N_max for extra
-        # mice-alignment; slice defensively.
+        # Predictions may be padded beyond this metric's (M, N_max) for
+        # extra mice-alignment; slice both accumulators symmetrically.
+        self._counts += counts[: self._counts.shape[0]]
         self._sums += sums[: self._sums.shape[0], : self._sums.shape[1]]
 
     def update(self, prediction, target, weights) -> None:

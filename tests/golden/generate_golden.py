@@ -14,6 +14,7 @@ The committed fixture lets the test suite verify bit-level behavioral
 parity without needing torch's reference code at test time.
 """
 
+import json
 import sys
 from pathlib import Path
 
@@ -21,6 +22,26 @@ import numpy as np
 
 REFERENCE = "/root/reference"
 OUT = Path(__file__).parent / "dwiseneuro_small.npz"
+OUT_FLAGSHIP = Path(__file__).parent / "dwiseneuro_flagship.npz"
+
+# The production true_batch_001 model (configs/true_batch_001.py:21-39 +
+# constants.num_neurons), with dropout zeroed so eval/train forwards are
+# deterministic — the golden pins shapes/slices/BN, not regularizer RNG.
+FLAGSHIP_CFG = dict(
+    readout_outputs=(7863, 7908, 8202, 7939, 8122, 7440, 7928, 8285, 7671, 7495),
+    in_channels=5,
+    core_features=(64, 64, 64, 64, 128, 128, 128, 256, 256),
+    spatial_strides=(2, 1, 1, 1, 2, 1, 1, 2, 1),
+    spatial_kernel=3,
+    temporal_kernel=5,
+    expansion_ratio=7,
+    se_reduce_ratio=32,
+    cortex_features=(1024, 2048, 4096),
+    groups=2,
+    softplus_beta=0.07,
+    drop_rate=0.0,
+    drop_path_rate=0.0,
+)
 
 SMALL_CFG = dict(
     readout_outputs=(11, 7, 10),
@@ -55,6 +76,64 @@ def load_reference_module(name: str, rel_path: str):
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     return module
+
+
+def main_flagship():
+    """Flagship-config golden with procedural weights (small fixture).
+
+    Weights are regenerated from (key, shape) on both sides — see
+    ``procedural_weights.py`` — so the fixture stores only the input, the
+    key/shape table, the forward outputs, and the post-forward BN stats.
+    """
+    import torch
+
+    from procedural_weights import fill_state
+
+    sys.path.insert(0, REFERENCE)
+    TorchDwiseNeuro = load_reference_module(
+        "ref_dwiseneuro", "src/models/dwiseneuro.py"
+    ).DwiseNeuro
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = TorchDwiseNeuro(**FLAGSHIP_CFG)
+        meta = {
+            k: tuple(v.shape)
+            for k, v in model.state_dict().items()
+            if v.dtype.is_floating_point
+        }
+        filled = fill_state(meta)
+        sd = model.state_dict()
+        for key, value in filled.items():
+            sd[key].copy_(torch.from_numpy(value))
+
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(2, 5, 16, 64, 64)) * 1.5).astype(np.float32)
+        xt = torch.from_numpy(x)
+
+        payload = {"input": x, "meta_json": np.array(json.dumps(meta))}
+
+        model.eval()
+        outs_eval = model(xt)
+        out_mouse1 = model(xt, 1)
+        for m, out in enumerate(outs_eval):
+            payload[f"eval_out:{m}"] = out.numpy()
+        payload["eval_mouse1"] = out_mouse1.numpy()
+
+        model.train()
+        outs_train = model(xt)
+        for m, out in enumerate(outs_train):
+            payload[f"train_out:{m}"] = out.numpy()
+        payload.update(
+            {
+                f"sd1:{k}": v.detach().cpu().numpy().astype(np.float32)
+                for k, v in model.state_dict().items()
+                if "running_" in k
+            }
+        )
+
+    np.savez_compressed(OUT_FLAGSHIP, **payload)
+    print(f"Wrote {OUT_FLAGSHIP} ({OUT_FLAGSHIP.stat().st_size / 1e6:.2f} MB)")
 
 
 def main():
@@ -97,4 +176,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--flagship" in sys.argv:
+        main_flagship()
+    else:
+        main()

@@ -216,6 +216,70 @@ class TestCorrelationMetric:
         values = corr(constant, varying, axis=0)
         assert np.all(np.isfinite(values))
 
+    def test_update_stats_slices_padded_mouse_axis(self):
+        """A caller padded in the mouse axis (extra-mice alignment) must be
+        sliced symmetrically in counts and sums — not broadcast-error."""
+        metric = CorrelationMetric(num_neurons=[3, 4])
+        counts = np.array([2.0, 3.0, 99.0])  # padded to 3 mice
+        sums = np.ones((3, 4, 5))
+        metric.update_stats(counts, sums)
+        np.testing.assert_allclose(metric._counts, [2.0, 3.0])
+        assert metric._sums.shape == (2, 4, 5)
+
+
+class TestStockLossRegistry:
+    """Stock torch-loss names register alongside mice_poisson
+    (argus_models.py:17-20), lifted into the mice-batch weighting."""
+
+    def _batch(self):
+        rng = np.random.default_rng(5)
+        pred = rng.uniform(0.1, 2.0, (2, 4, 3, 6)).astype(np.float32)
+        target = rng.uniform(0.0, 2.0, (4, 3, 6)).astype(np.float32)
+        weights = np.zeros((4, 2), np.float32)
+        weights[:2, 0] = 1.0
+        weights[2:, 1] = 1.0
+        return pred, target, weights
+
+    @pytest.mark.parametrize(
+        "name,torch_loss_kwargs",
+        [
+            ("L1Loss", {}),
+            ("MSELoss", {}),
+            ("SmoothL1Loss", {"beta": 0.5}),
+            ("HuberLoss", {"delta": 0.7}),
+            ("PoissonNLLLoss", {"eps": 1e-6}),
+        ],
+    )
+    def test_matches_torch_elementwise(self, name, torch_loss_kwargs):
+        import torch
+
+        from sensorium_tpu.engine.losses import get_loss
+
+        pred, target, weights = self._batch()
+        loss_fn = get_loss(name, dict(torch_loss_kwargs))
+        actual = float(loss_fn(pred, target, weights))
+
+        if name == "PoissonNLLLoss":
+            torch_fn = torch.nn.PoissonNLLLoss(
+                log_input=False, full=False, reduction="none", **torch_loss_kwargs
+            )
+        else:
+            torch_fn = getattr(torch.nn, name)(reduction="none", **torch_loss_kwargs)
+        w = torch.as_tensor(weights / weights.sum())
+        total = torch.zeros(())
+        for m in range(pred.shape[0]):
+            elem = torch_fn(
+                torch.as_tensor(pred[m]), torch.as_tensor(target)
+            )  # (B, N, T)
+            total = total + (elem.sum(dim=(1, 2)) * w[:, m]).sum()
+        assert actual == pytest.approx(float(total), rel=1e-5)
+
+    def test_unknown_loss_raises(self):
+        from sensorium_tpu.engine.losses import get_loss
+
+        with pytest.raises(KeyError):
+            get_loss("NoSuchLoss", {})
+
 
 class TestEma:
     def test_update_math(self):
