@@ -40,6 +40,7 @@ import numpy as np
 from flax import linen as nn
 
 from sensorium_tpu.ops.conv import (
+    accum_dtype,
     depthwise_conv_spatial,
     depthwise_conv_temporal,
     grouped_pointwise,
@@ -378,7 +379,7 @@ class DwiseNeuro(nn.Module):
                     "btgc,gcp->btgp",
                     xg,
                     kernel[mouse_index],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=accum_dtype(xg),
                 )
                 + bias[mouse_index]
             )
@@ -399,11 +400,11 @@ class DwiseNeuro(nn.Module):
                 "mbtgc,mgcp->mbtgp",
                 to_groups(xm),
                 kernel,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=accum_dtype(x),
             )
         else:
             logits = jnp.einsum(
-                "btgc,mgcp->mbtgp", to_groups(x), kernel, preferred_element_type=jnp.float32
+                "btgc,mgcp->mbtgp", to_groups(x), kernel, preferred_element_type=accum_dtype(x)
             )
         logits = logits + bias[:, None, None]
         pred = softplus_beta(logits, self.softplus_beta)

@@ -12,9 +12,14 @@ spatial depthwise (1,k,k), and temporal depthwise (k,1,1) pieces
   (default), true-2D conv over (B*T) batch 8.2, XLA-fused shifted
   multiply-adds 10.0, Pallas tap kernels 8.5 (ops/pallas_dw.py, opt-in via
   SENSORIUM_DW_IMPL=pallas), Pallas with fused BN+SiLU prologue 12.1
-  (ops/pallas_fused.py).  The XLA conv emitter wins at every block shape;
-  it still runs at only ~30-50% of the bandwidth roofline, so a future
-  Mosaic-layout-aware kernel remains the main known headroom;
+  (ops/pallas_fused.py).  The XLA conv emitter wins at every block shape
+  AND runs near the realized roofline: the round-2 train-step trace
+  (docs/PERF.md "Per-op realized bandwidth") clocks the fused
+  spatial-dw+BN-stats op at 593 GB/s of logical bytes — 87% of the best
+  bandwidth observed anywhere in the step (680 GB/s) — so there is no
+  meaningful dw-conv codegen headroom left; an earlier ~30-50%-of-roofline
+  estimate here was measured before XLA's stats/epilogue fusion landed in
+  the step and is retracted;
 * grouped 1x1 convs (cortex / readouts) are block-diagonal matmuls,
   expressed as an einsum with an explicit group axis.
 
@@ -28,13 +33,26 @@ import jax
 import jax.numpy as jnp
 
 
-def pointwise(x: jax.Array, kernel: jax.Array, preferred_dtype=jnp.float32) -> jax.Array:
+def accum_dtype(x: jax.Array):
+    """MXU dots accumulate bf16 operands in fp32 (``preferred_element_type``).
+
+    The CPU backend (tests, virtual-mesh dryruns) cannot *execute* mixed
+    BF16xBF16=F32 dots (XLA:CPU DotThunk limitation), so there we fall back
+    to operand-dtype accumulation — XLA:CPU upcasts bf16 internally anyway.
+    TPU behavior is unchanged.
+    """
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return None
+    return jnp.float32
+
+
+def pointwise(x: jax.Array, kernel: jax.Array, preferred_dtype=None) -> jax.Array:
     """1x1 conv over the trailing channel axis: (..., Cin) @ (Cin, Cout)."""
     return jax.lax.dot_general(
         x,
         kernel,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=accum_dtype(x) if preferred_dtype is None else preferred_dtype,
     ).astype(x.dtype)
 
 
@@ -46,7 +64,7 @@ def grouped_pointwise(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """
     groups, cin_g, cout_g = kernel.shape
     xg = x.reshape(x.shape[:-1] + (groups, cin_g))
-    yg = jnp.einsum("...gc,gcd->...gd", xg, kernel, preferred_element_type=jnp.float32)
+    yg = jnp.einsum("...gc,gcd->...gd", xg, kernel, preferred_element_type=accum_dtype(x))
     return yg.reshape(x.shape[:-1] + (groups * cout_g,)).astype(x.dtype)
 
 

@@ -136,6 +136,77 @@ def main_flagship():
     print(f"Wrote {OUT_FLAGSHIP} ({OUT_FLAGSHIP.stat().st_size / 1e6:.2f} MB)")
 
 
+OUT_IMPORT = Path(__file__).parent / "import_proof_flagship.npz"
+
+
+def main_import_proof():
+    """Golden for the production-shape checkpoint-import proof.
+
+    Runs the reference's own sliding-window inference
+    (predictors.py:36-55: stride-1 anchors, StackInputsProcessor,
+    IndexesGenerator(16, 2, "last"), "ones" blend) with the flagship torch
+    model on one synthetic trial, using the same procedural weights the
+    test regenerates into a reference-style ``.pth``.
+    """
+    import torch
+
+    from procedural_weights import fill_state
+
+    sys.path.insert(0, REFERENCE)
+    TorchDwiseNeuro = load_reference_module(
+        "ref_dwiseneuro", "src/models/dwiseneuro.py"
+    ).DwiseNeuro
+    ref_inputs = load_reference_module("ref_inputs", "src/inputs.py")
+    ref_indexes = load_reference_module("ref_indexes", "src/indexes.py")
+
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = TorchDwiseNeuro(**FLAGSHIP_CFG)
+        meta = {
+            k: tuple(v.shape)
+            for k, v in model.state_dict().items()
+            if v.dtype.is_floating_point
+        }
+        sd = model.state_dict()
+        for key, value in fill_state(meta).items():
+            sd[key].copy_(torch.from_numpy(value))
+        model.eval()
+
+        rng = np.random.default_rng(21)
+        length = 40  # 10 stride-1 anchors with the (16, 2, "last") window
+        video = rng.uniform(0.0, 255.0, (36, 64, length)).astype(np.float32)
+        behavior = rng.uniform(0.0, 8.0, (2, length)).astype(np.float32)
+        pupil_center = rng.uniform(50.0, 200.0, (2, length)).astype(np.float32)
+        mouse_index = 1
+
+        # The reference predict_trial loop, verbatim semantics
+        # (predictors.py:36-55) on the reference's own processor/indexer.
+        processor = ref_inputs.StackInputsProcessor(size=(64, 64), pad_fill_value=0.0)
+        gen = ref_indexes.IndexesGenerator(16, 2, "last")
+        inputs = processor(video, behavior, pupil_center)
+        responses = np.zeros(
+            (FLAGSHIP_CFG["readout_outputs"][mouse_index], length), np.float32
+        )
+        blend = np.zeros(length, np.float32)
+        for index in range(gen.behind, length - gen.ahead):
+            idxs = gen.make_indexes(index)
+            pred = model(inputs[:, idxs].unsqueeze(0), mouse_index)[0]
+            responses[..., idxs] += pred.numpy()
+            blend[idxs] += 1.0
+        responses /= np.clip(blend, 1.0, None)
+
+    payload = {
+        "video": video,
+        "behavior": behavior,
+        "pupil_center": pupil_center,
+        "prediction": responses,
+        "mouse_index": np.array(mouse_index),
+        "meta_json": np.array(json.dumps(meta)),
+    }
+    np.savez_compressed(OUT_IMPORT, **payload)
+    print(f"Wrote {OUT_IMPORT} ({OUT_IMPORT.stat().st_size / 1e6:.2f} MB)")
+
+
 def main():
     import torch
 
@@ -178,5 +249,7 @@ def main():
 if __name__ == "__main__":
     if "--flagship" in sys.argv:
         main_flagship()
+    elif "--import-proof" in sys.argv:
+        main_import_proof()
     else:
         main()

@@ -170,7 +170,9 @@ class TestDryrun:
     def test_dryrun_multichip(self, capsys):
         import __graft_entry__ as graft
 
-        graft.dryrun_multichip(8)
+        # The toy smoke: proves the sharding machinery quickly. The driver
+        # runs the default flagship=True path (real true_batch_001 model).
+        graft.dryrun_multichip(8, flagship=False)
         assert "ok" in capsys.readouterr().out
 
 
