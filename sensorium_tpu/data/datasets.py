@@ -20,6 +20,7 @@ JAX/TPU pipeline:
 
 from __future__ import annotations
 
+import threading as _threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -63,6 +64,7 @@ class MouseTrialStore:
         self.trials = mouse_data["trials"]
         self.trial_lengths = [t["length"] for t in self.trials]
         self._mmap_cache: dict[str, np.ndarray] = {}
+        self._filler_cache: dict[int, object] = {}
 
     def _array(self, path: str) -> np.ndarray:
         arr = self._mmap_cache.get(path)
@@ -101,7 +103,7 @@ class MouseTrialStore:
             target = self.responses_processor(responses)
         return inputs, target
 
-    def _native_input(self, trial_index: int, frame_indexes: np.ndarray):
+    def _native_input(self, trial_index: int, frame_indexes: np.ndarray, out=None):
         from sensorium_tpu.data import native
         from sensorium_tpu.data.inputs import StackInputsProcessor
 
@@ -111,12 +113,121 @@ class MouseTrialStore:
         trial = self.trials[trial_index]
         return native.assemble_stack_input(
             self._array(trial["video_path"]),
-            np.asarray(self._array(trial["behavior_path"]), np.float32),
-            np.asarray(self._array(trial["pupil_center_path"]), np.float32),
+            self._f32_array(trial["behavior_path"]),
+            self._f32_array(trial["pupil_center_path"]),
             frame_indexes,
             proc.size,
             proc.pad_fill_value,
+            out=out,
         )
+
+    def _f32_array(self, path: str) -> np.ndarray:
+        """Small per-trial signal arrays, converted to f32 once and cached
+        (the per-sample ``np.asarray`` conversion showed up in profiles)."""
+        key = ("f32", path)
+        arr = self._mmap_cache.get(key)
+        if arr is None:
+            arr = np.ascontiguousarray(self._array(path), np.float32)
+            self._mmap_cache[key] = arr
+        return arr
+
+    def _trial_filler(self, trial_index: int):
+        """One-native-call-per-sample filler, validated+marshalled once per
+        trial (None when the processor/layout combination is unsupported)."""
+        filler = self._filler_cache.get(trial_index, False)
+        if filler is not False:
+            return filler
+        from sensorium_tpu.data import native
+        from sensorium_tpu.data.inputs import StackInputsProcessor
+        from sensorium_tpu.data.responses import IdentityResponsesProcessor
+
+        filler = None
+        proc = self.inputs_processor
+        trial = self.trials[trial_index]
+        if (
+            type(proc) is StackInputsProcessor
+            and type(self.responses_processor) is IdentityResponsesProcessor
+        ):
+            responses = (
+                self._array(trial["response_path"])
+                if "response_path" in trial
+                else None
+            )
+            filler = native.make_trial_filler(
+                self._array(trial["video_path"]),
+                self._f32_array(trial["behavior_path"]),
+                self._f32_array(trial["pupil_center_path"]),
+                responses,
+                proc.size,
+            )
+        self._filler_cache[trial_index] = filler
+        return filler
+
+    def window_sample_into(
+        self, trial_index: int, anchor: int, input_out: np.ndarray, target_out: np.ndarray
+    ) -> None:
+        """``window_sample`` writing straight into collated batch rows.
+
+        ``input_out``: (5, S, H, W) row view; ``target_out``: the row's
+        first ``num_neurons`` rows of the zero-padded (N_max, S) target.
+        Falls back internally to the allocating path when the fused native
+        kernels cannot handle the processor/array layout.  Consumes no RNG.
+        """
+        from sensorium_tpu.data import native
+        from sensorium_tpu.data.responses import IdentityResponsesProcessor
+
+        frame_indexes = self.indexer.window(anchor)
+        filler = self._trial_filler(trial_index)
+        if filler is not None:
+            filler(
+                frame_indexes,
+                self.inputs_processor.pad_fill_value,
+                input_out,
+                target_out if "response_path" in self.trials[trial_index] else None,
+            )
+            return
+        if self._native_input(trial_index, frame_indexes, out=input_out) is None:
+            frames = self.gather(trial_index, frame_indexes, "video_path")
+            behavior = self.gather(trial_index, frame_indexes, "behavior_path")
+            pupil_center = self.gather(trial_index, frame_indexes, "pupil_center_path")
+            input_out[...] = self.inputs_processor(frames, behavior, pupil_center)
+
+        trial = self.trials[trial_index]
+        if "response_path" not in trial:
+            return
+        responses = self._array(trial["response_path"])
+        fused = (
+            type(self.responses_processor) is IdentityResponsesProcessor
+            and responses.ndim == 2
+            and responses.dtype == np.float32
+        )
+        if fused and native.gather_rows_relu_into(responses, frame_indexes, target_out):
+            return
+        if fused:
+            np.take(responses, frame_indexes, axis=-1, out=target_out)
+            np.maximum(target_out, 0.0, out=target_out)
+            return
+        target_out[...] = self.responses_processor(
+            self.gather(trial_index, frame_indexes, "response_path")
+        )
+
+
+def _row_shapes(stores, max_neurons: int, augmentations=None):
+    """(input_shape, target_shape) for the zero-copy loader path, or None
+    when row geometry cannot be known upfront (non-stack input processors,
+    non-(N, S) response processors, per-sample augmentation hooks)."""
+    from sensorium_tpu.data.inputs import StackInputsProcessor
+    from sensorium_tpu.data.responses import IdentityResponsesProcessor
+
+    store = stores[0]
+    proc = store.inputs_processor
+    if augmentations is not None or type(proc) is not StackInputsProcessor:
+        return None
+    if type(store.responses_processor) is not IdentityResponsesProcessor:
+        return None
+    s = store.indexer.size
+    width, height = proc.size
+    return (5, s, height, width), (max_neurons, s)
 
 
 class TrainMiceDataset:
@@ -148,6 +259,11 @@ class TrainMiceDataset:
         self.mouse_epoch_size = mouse_epoch_size
         self.mixer = mixer
         self.seed = seed
+        # Thread-local partner buffers for the zero-copy mixer path: the
+        # CutMix partner is a full extra sample; drawing it into reused
+        # scratch (instead of the allocating _draw) keeps the mixed-sample
+        # cost close to the unmixed one.
+        self._scratch = _threading.local()
         # Per-sample input augmentation hook, ``(inputs, rng) -> inputs``
         # (reference: the ``augmentations`` nn.Module applied in
         # TrainMouseVideoDataset.get_sample_tensors, src/datasets.py:118-122
@@ -195,6 +311,53 @@ class TrainMiceDataset:
             inputs, target = self.mixer((inputs, target), partner, rng)
         return mouse_index, inputs, target
 
+    @property
+    def row_shapes(self):
+        return _row_shapes(self.stores, self.max_neurons, self.augmentations)
+
+    def fill_into(
+        self, index: int, epoch: int, input_out: np.ndarray, target_out: np.ndarray
+    ) -> int:
+        """Zero-copy ``get``: write the sample straight into collated batch
+        rows; returns the mouse index.  Produces bit-identical samples to
+        ``get`` + collate (same RNG stream: the draw, ``mixer.use`` and the
+        mixer's own draws happen in the same order; ``mix_into`` mixes the
+        partner into the row views in place)."""
+        mouse_index = index // self.mouse_epoch_size
+        store = self.stores[mouse_index]
+        target_view = target_out[: store.num_neurons]
+        rng = np.random.default_rng((self.seed, epoch, index))
+        valid = self._valid_trials[mouse_index]
+        trial_index = int(valid[rng.integers(len(valid))])
+        length = store.trial_lengths[trial_index]
+        anchor = int(rng.integers(store.indexer.behind, length - store.indexer.ahead))
+        store.window_sample_into(trial_index, anchor, input_out, target_view)
+        if self.mixer is not None and self.mixer.use(rng):
+            partner_rng = np.random.default_rng((self.seed, epoch, index, 1))
+            partner = self._draw_scratch(mouse_index, partner_rng, input_out.shape)
+            self.mixer.mix_into((input_out, target_view), partner, rng)
+        return mouse_index
+
+    def _draw_scratch(self, mouse_index: int, rng, input_shape):
+        """``_draw`` into reused thread-local buffers (zero allocations).
+
+        Consumes the RNG identically to ``_draw`` (two ``integers`` calls);
+        only valid on the zero-copy path (``row_shapes`` not None), which
+        also guarantees ``augmentations is None``.
+        """
+        scratch = self._scratch
+        if getattr(scratch, "input", None) is None or scratch.input.shape != input_shape:
+            scratch.input = np.empty(input_shape, np.float32)
+            scratch.target = np.empty((self.max_neurons, input_shape[1]), np.float32)
+        store = self.stores[mouse_index]
+        valid = self._valid_trials[mouse_index]
+        trial_index = int(valid[rng.integers(len(valid))])
+        length = store.trial_lengths[trial_index]
+        anchor = int(rng.integers(store.indexer.behind, length - store.indexer.ahead))
+        target_view = scratch.target[: store.num_neurons]
+        store.window_sample_into(trial_index, anchor, scratch.input, target_view)
+        return scratch.input, target_view
+
 
 class ValMiceDataset:
     """Deterministic non-overlapping validation windows over all mice."""
@@ -230,6 +393,21 @@ class ValMiceDataset:
         anchor = store.indexer.behind + position * self.width
         inputs, target = store.window_sample(trial_index, anchor)
         return mouse_index, inputs, target
+
+    @property
+    def row_shapes(self):
+        return _row_shapes(self.stores, self.max_neurons)
+
+    def fill_into(
+        self, index: int, epoch: int, input_out: np.ndarray, target_out: np.ndarray
+    ) -> int:
+        mouse_index, trial_index, position = self._samples[index]
+        store = self.stores[mouse_index]
+        anchor = store.indexer.behind + position * self.width
+        store.window_sample_into(
+            trial_index, anchor, input_out, target_out[: store.num_neurons]
+        )
+        return mouse_index
 
 
 def collate_mice_batch(

@@ -2,13 +2,18 @@
 
 Replaces the reference's ``torch.utils.data.DataLoader`` with 8 worker
 processes (``/root/reference/scripts/train.py:101-112``): here samples are
-gathered from memory-mapped arrays by a thread pool (NumPy releases the GIL
-for the copies), collated into pinned host batches, and a small queue keeps
-batches ready ahead of the device so TPU steps never wait on the host.
+gathered from memory-mapped arrays by a thread pool (NumPy and the native
+kernels release the GIL), written **directly into the collated batch
+rows** (zero-copy path: no per-sample arrays, no collate pass — workers
+call ``dataset.fill_into(index, epoch, input_row, target_row)``), and a
+small queue keeps batches ready ahead of the device so TPU steps never
+wait on the host.  Datasets that cannot expose fixed row geometry
+(``row_shapes is None``) fall back to the allocating get+collate path.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -60,23 +65,48 @@ class MiceDataLoader:
         epoch = self.epoch
         stop = threading.Event()
 
+        row_shapes = getattr(self.dataset, "row_shapes", None)
+        num_mice = getattr(self.dataset, "num_mice", None)
+        # More threads than cores only adds GIL/queue contention.
+        workers = max(1, min(self.num_threads, os.cpu_count() or self.num_threads))
+
+        def make_batch_fill(pool, batch_indexes):
+            input_shape, target_shape = row_shapes
+            b = len(batch_indexes)
+            inputs = np.empty((b,) + input_shape, np.float32)
+            targets = np.zeros((b,) + target_shape, np.float32)
+            weights = np.zeros((b, num_mice), np.float32)
+
+            def fill_row(row_and_index):
+                row, i = row_and_index
+                mouse = self.dataset.fill_into(int(i), epoch, inputs[row], targets[row])
+                weights[row, mouse] = 1.0
+
+            # Consume the iterator so worker exceptions surface here.
+            for _ in pool.map(fill_row, enumerate(batch_indexes)):
+                pass
+            return MiceBatch(inputs=inputs, targets=targets, weights=weights)
+
+        def make_batch_collate(pool, batch_indexes):
+            samples = list(
+                pool.map(lambda i: self.dataset.get(int(i), epoch), batch_indexes)
+            )
+            return collate_mice_batch(
+                samples,
+                num_mice=num_mice,
+                max_neurons=getattr(self.dataset, "max_neurons", None),
+            )
+
+        make_batch = make_batch_collate if row_shapes is None else make_batch_fill
+
         def produce():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
                     for b in range(num_batches):
                         if stop.is_set():
                             return
                         batch_indexes = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        samples = list(
-                            pool.map(lambda i: self.dataset.get(int(i), epoch), batch_indexes)
-                        )
-                        out_queue.put(
-                            collate_mice_batch(
-                                samples,
-                                num_mice=getattr(self.dataset, "num_mice", None),
-                                max_neurons=getattr(self.dataset, "max_neurons", None),
-                            )
-                        )
+                        out_queue.put(make_batch(pool, batch_indexes))
                 out_queue.put(None)
             except BaseException as exc:  # surface worker errors to the consumer
                 out_queue.put(exc)

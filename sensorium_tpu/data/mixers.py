@@ -27,6 +27,15 @@ class Mixer(abc.ABC):
     def __call__(self, sample1: Sample, sample2: Sample, rng: np.random.Generator) -> Sample:
         ...
 
+    def mix_into(self, sample1: Sample, sample2: Sample, rng: np.random.Generator) -> None:
+        """Mix ``sample2`` into ``sample1`` IN PLACE (sample1 arrays are
+        batch-row views in the zero-copy loader path).  Must consume the
+        RNG identically to ``__call__`` so both paths produce bit-identical
+        samples; this default does exactly that via ``__call__``."""
+        inputs, target = self(sample1, sample2, rng)
+        sample1[0][...] = inputs
+        sample1[1][...] = target
+
 
 class Mixup(Mixer):
     """Convex interpolation of inputs and targets with Beta(alpha, alpha) weight."""
@@ -42,6 +51,10 @@ class Mixup(Mixer):
         inputs = (1 - lam) * inputs1 + lam * inputs2
         target = (1 - lam) * target1 + lam * target2
         return inputs, target
+
+    # mix_into: the default (__call__ + copy-back) is used — Mixup's float64
+    # lam promotes the mixed arrays to f64 before the collate cast, and the
+    # in-place form would round differently.  No production config uses it.
 
 
 def sample_bbox(height: int, width: int, lam: float, rng: np.random.Generator):
@@ -82,6 +95,22 @@ class CutMix(Mixer):
         area = (x2 - x1) * (y2 - y1) / (h * w)
         target = (1 - area) * target1 + area * target2
         return inputs, target
+
+    def mix_into(self, sample1, sample2, rng):
+        """In-place CutMix; NOTE: clobbers ``sample2``'s target (the
+        zero-copy loader passes disposable thread-local scratch)."""
+        inputs1, target1 = sample1
+        inputs2, target2 = sample2
+        lam = rng.beta(self.alpha, self.alpha)  # identical RNG order to __call__
+        h, w = inputs1.shape[-2:]
+        x1, y1, x2, y2 = sample_bbox(h, w, lam, rng)
+        inputs1[..., x1:x2, y1:y2] = inputs2[..., x1:x2, y1:y2]
+        area = (x2 - x1) * (y2 - y1) / (h * w)
+        # Same rounding sequence as __call__: (1-area)*t1, area*t2, sum —
+        # area is a Python float, so f32 is preserved on both paths.
+        target1 *= 1 - area
+        np.multiply(target2, area, out=target2)
+        target1 += target2
 
 
 class RandomChoiceMixer(Mixer):

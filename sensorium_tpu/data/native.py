@@ -79,6 +79,18 @@ def _configure(lib) -> None:
     ip = ctypes.POINTER(ctypes.c_int64)
     lib.gather_rows_f32.argtypes = [fp, i64, i64, ip, i64, fp]
     lib.gather_rows_f32.restype = None
+    lib.gather_rows_relu_f32.argtypes = [fp, i64, i64, ip, i64, fp]
+    lib.gather_rows_relu_f32.restype = None
+    lib.fill_sample.argtypes = [
+        fp, i64, i64, i64,  # video
+        fp, i64,  # behavior
+        fp, i64,  # pupil
+        fp, i64, i64,  # responses (nullable)
+        ip, i64,  # indexes
+        i64, i64, ctypes.c_float,  # out_h, out_w, fill
+        fp, fp,  # input_out, target_out (nullable)
+    ]
+    lib.fill_sample.restype = None
     lib.assemble_stack_input.argtypes = [
         fp, i64, i64, i64,  # video
         fp, i64,  # behavior
@@ -119,6 +131,102 @@ def gather_rows(src: np.ndarray, indexes: np.ndarray) -> np.ndarray:
     out = np.empty((rows, indexes.shape[0]), np.float32)
     lib.gather_rows_f32(_f32ptr(src), rows, t, _i64ptr(indexes), indexes.shape[0], _f32ptr(out))
     return out
+
+
+def gather_rows_relu_into(src: np.ndarray, indexes: np.ndarray, out: np.ndarray) -> bool:
+    """``out[...] = max(src[..., indexes], 0)`` for 2-D float32 ``src``.
+
+    Writes directly into ``out`` (a collated batch row slice); returns
+    False when the native library or array layout cannot handle it (the
+    caller then runs the NumPy fallback).
+    """
+    lib = _load_library()
+    if (
+        lib is None
+        or src.dtype != np.float32
+        or out.dtype != np.float32
+        or src.ndim != 2
+        or src.strides[1] != 4
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        return False
+    rows, t = src.shape
+    if src.strides[0] != t * 4 or out.shape != (rows, indexes.shape[0]):
+        return False
+    indexes = np.ascontiguousarray(indexes, dtype=np.int64)
+    lib.gather_rows_relu_f32(
+        _f32ptr(src), rows, t, _i64ptr(indexes), indexes.shape[0], _f32ptr(out)
+    )
+    return True
+
+
+def make_trial_filler(
+    video: np.ndarray,
+    behavior: np.ndarray,
+    pupil_center: np.ndarray,
+    responses: np.ndarray | None,
+    out_size: tuple[int, int],
+):
+    """Pre-marshalled per-trial sample filler, or None if unsupported.
+
+    Layout validation and the source-pointer ctypes conversions happen ONCE
+    per trial here; the returned callable ``fill(indexes, fill_value,
+    input_out, target_out)`` performs a single native call per sample (the
+    per-call marshalling of the two-entry-point path measured comparable to
+    the actual copy work).  The caller must keep batch-row outputs C-contig
+    float32 (the loader's arrays are) and hold this filler no longer than
+    the source arrays.
+    """
+    lib = _load_library()
+    if lib is None:
+        return None
+    if video.dtype != np.float32 or video.ndim != 3:
+        return None
+    h, w, t = video.shape
+    if video.strides != (w * t * 4, t * 4, 4):
+        return None
+    width, height = out_size
+    if h > height or w > width:
+        return None
+    for sig in (behavior, pupil_center):
+        if sig.dtype != np.float32 or sig.ndim != 2 or not sig.flags["C_CONTIGUOUS"]:
+            return None
+    if responses is not None:
+        if (
+            responses.dtype != np.float32
+            or responses.ndim != 2
+            or responses.strides[1] != 4
+            or responses.strides[0] != responses.shape[1] * 4
+        ):
+            return None
+        resp_ptr = _f32ptr(responses)
+        resp_rows, resp_t = responses.shape
+    else:
+        resp_ptr, resp_rows, resp_t = None, 0, 0
+
+    video_ptr = _f32ptr(video)
+    behavior_ptr = _f32ptr(behavior)
+    pupil_ptr = _f32ptr(pupil_center)
+    bt, pt = behavior.shape[-1], pupil_center.shape[-1]
+    fill_sample = lib.fill_sample
+    c_float = ctypes.c_float
+    # Closure keeps the source arrays (and their pointers) alive.
+    sources = (video, behavior, pupil_center, responses)
+
+    def fill(indexes: np.ndarray, fill_value: float, input_out, target_out) -> None:
+        assert sources is not None
+        fill_sample(
+            video_ptr, h, w, t,
+            behavior_ptr, bt,
+            pupil_ptr, pt,
+            resp_ptr, resp_rows, resp_t,
+            _i64ptr(indexes), indexes.shape[0],
+            height, width, c_float(fill_value),
+            _f32ptr(input_out),
+            _f32ptr(target_out) if target_out is not None else None,
+        )
+
+    return fill
 
 
 def assemble_stack_input(
