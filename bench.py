@@ -61,7 +61,11 @@ def _flagship_params() -> dict:
     nn_kwargs = dict(nn_kwargs)
     nn_kwargs["remat"] = os.environ.get("SENSORIUM_REMAT", "1") != "0"
     if os.environ.get("SENSORIUM_REMAT_BLOCKS"):
-        nn_kwargs["remat_blocks"] = int(os.environ["SENSORIUM_REMAT_BLOCKS"])
+        spec = os.environ["SENSORIUM_REMAT_BLOCKS"]
+        # "2" = first two blocks; "0,7,8" = exactly those block indexes.
+        nn_kwargs["remat_blocks"] = (
+            tuple(int(v) for v in spec.split(",")) if "," in spec else int(spec)
+        )
     if os.environ.get("SENSORIUM_BENCH_NODROP"):
         nn_kwargs["drop_rate"] = 0.0
         nn_kwargs["drop_path_rate"] = 0.0
@@ -143,12 +147,29 @@ def measure_train(trace_dir: str | None = None) -> dict:
         float(jax.device_get(loss))
         eval_elapsed = time.perf_counter() - start
 
-    return {
+    detail = {
         "dw_impl": _dw_implementation(),
         "train_clips_per_sec": round(BATCH * MEASURE_STEPS / train_elapsed, 2),
         "eval_clips_per_sec": round(BATCH * MEASURE_STEPS / eval_elapsed, 2),
         "phase_seconds": {k: round(v, 3) for k, v in watch.summary().items()},
     }
+    if os.environ.get("SENSORIUM_BENCH_MEM"):
+        # Compiled-footprint report (for remat-config A/Bs): args + temps
+        # must fit the 16 GB HBM of a v5e chip.
+        try:
+            mem = (
+                train_step.lower(state, inputs, targets, weights)
+                .compile()
+                .memory_analysis()
+            )
+            detail["train_step_memory_gb"] = {
+                "arguments": round(mem.argument_size_in_bytes / 2**30, 3),
+                "temps": round(mem.temp_size_in_bytes / 2**30, 3),
+                "output": round(mem.output_size_in_bytes / 2**30, 3),
+            }
+        except Exception as exc:  # memory_analysis is backend-dependent
+            detail["train_step_memory_gb"] = {"error": str(exc)[:200]}
+    return detail
 
 
 def measure_train_subprocess(dw_impl: str) -> dict:

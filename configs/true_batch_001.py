@@ -50,10 +50,14 @@ config = dict(
                 "drop_rate": 0.4,
                 "drop_path_rate": 0.1,
                 "dtype": "bfloat16",
-                # Remat only the first two (highest-resolution) core blocks:
-                # measured fastest batch-32 setting that leaves ~1 GB HBM
-                # headroom on a 16 GB v5e chip (see bench.py ladder).
-                "remat_blocks": 2,
+                # Remat ONLY core block 1 and store block 0: the round-2
+                # sweep (docs/PERF.md remat ladder) found block 0's
+                # recompute is the most expensive (64x64 work) while
+                # storing it costs far less than the naive estimate in
+                # XLA's actual buffer schedule — 114.6 clips/s vs 111.7
+                # for the old first-2 setting, with 1.1 GB HBM headroom
+                # (args+temps 14.62 of 15.75 GB usable; k=0 OOMs by 1 GB).
+                "remat_blocks": (1,),
             },
         ),
         "loss": ("mice_poisson", {"log_input": False, "full": False, "eps": 1e-8}),

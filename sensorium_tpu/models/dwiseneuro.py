@@ -251,12 +251,14 @@ class DwiseNeuro(nn.Module):
     # residuals' expanded activations (x7 channels at up to 64x64 spatial)
     # dominate training memory; recomputing them trades cheap VPU FLOPs for
     # ~4x less HBM, which is what lets global batch 32 fit a 16 GB chip.
-    # ``remat_blocks`` limits remat to the first k blocks (the
-    # high-resolution memory hogs); -1 remats all of them.  Late blocks run
-    # at <=16x16 spatial where storing intermediates is cheap, so skipping
-    # their recompute buys wall-clock at little memory cost.
+    # ``remat_blocks``: an int k remats the first k blocks (the
+    # high-resolution memory hogs); -1 remats all of them; a sequence
+    # remats exactly those block indexes (e.g. (0, 7, 8): remat block 0
+    # plus the cheap-to-recompute late blocks, store blocks 1-6).  Late
+    # blocks run at <=16x16 spatial where storing intermediates is cheap,
+    # so skipping their recompute buys wall-clock at little memory cost.
     remat: bool = True
-    remat_blocks: int = -1
+    remat_blocks: int | Sequence[int] = -1
 
     @property
     def num_mice(self) -> int:
@@ -289,11 +291,15 @@ class DwiseNeuro(nn.Module):
         # on v5e — XLA already fuses the stats reduce into the normalize
         # recompute — so plain full-block remat is kept.)
         remat_cls = nn.remat(InvertedResidual3d, static_argnums=(2,))
-        remat_limit = num_blocks if self.remat_blocks < 0 else self.remat_blocks
+        if isinstance(self.remat_blocks, int):
+            limit = num_blocks if self.remat_blocks < 0 else self.remat_blocks
+            remat_set = frozenset(range(limit))
+        else:
+            remat_set = frozenset(int(i) for i in self.remat_blocks)
 
         for i in range(num_blocks):
             block_cls = (
-                remat_cls if self.remat and i < remat_limit else InvertedResidual3d
+                remat_cls if self.remat and i in remat_set else InvertedResidual3d
             )
             out_features = features[i + 1] if i + 1 < num_blocks else features[i]
             pe = position_encoding_3d(features[i], *x.shape[1:4])

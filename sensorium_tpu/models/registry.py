@@ -16,6 +16,10 @@ def get_nn_module(name: str, module_params: dict):
     for key in ("readout_outputs", "core_features", "spatial_strides", "cortex_features"):
         if key in params:
             params[key] = tuple(params[key])
+    # remat_blocks may be an int (first-k) or a block-index sequence; JSON
+    # roundtrips sequences as lists, and flax module fields must be hashable.
+    if isinstance(params.get("remat_blocks"), list):
+        params["remat_blocks"] = tuple(params["remat_blocks"])
     if isinstance(params.get("dtype"), str):
         import jax.numpy as jnp
 

@@ -92,6 +92,34 @@ def test_single_mouse_forward_matches_torch(golden, model, variables):
     )
 
 
+@pytest.mark.parametrize("spec", [0, 1, -1, (1,), (0, 1)])
+def test_remat_block_specs_preserve_math(golden, variables, spec):
+    """Rematerialization (int first-k or explicit block-index sequence)
+    changes the backward schedule, never the numbers."""
+    def loss_for(remat_blocks):
+        m = DwiseNeuro(**{**MODEL_KWARGS, "remat_blocks": remat_blocks})
+
+        def loss_fn(params):
+            out = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                golden["input"],
+                train=True,
+                mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out * out)
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    base_loss, base_grad = loss_for(0)  # no block rematted
+    got_loss, got_grad = loss_for(spec)
+    np.testing.assert_allclose(float(got_loss), float(base_loss), rtol=1e-6)
+    for path, g in jax.tree_util.tree_flatten_with_path(got_grad)[0]:
+        expected = dict(jax.tree_util.tree_flatten_with_path(base_grad)[0])[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(expected), rtol=1e-5, atol=1e-6, err_msg=str(path)
+        )
+
+
 def test_train_forward_and_bn_stat_updates_match_torch(golden, model, variables):
     out, mutated = model.apply(
         variables, golden["input"], train=True, mutable=["batch_stats"]
