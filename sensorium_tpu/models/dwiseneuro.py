@@ -133,17 +133,30 @@ class InvertedResidual3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def shortcut(self, x, train: bool):
-        """Parameter-free shortcut: nearest spatial downsample + channel tile."""
+        """Parameter-free shortcut: nearest spatial downsample + channel tile.
+
+        TPU lowering notes: when the stride divides H and W, the nearest-index
+        gather ``idx[i] = i*h // out_h`` is exactly ``i*stride``, so it is
+        emitted as a strided slice (backward = a cheap pad) instead of a
+        gather (which XLA lowers to a while-loop forward and a scatter-add
+        backward — measured ~270 GB/s vs the step's ~600 GB/s roofline).
+        Likewise the channel tile is a minor-axis concatenate, which keeps
+        the (8,128) tiled layout, rather than ``jnp.tile`` (a 6D broadcast
+        in (2,128) layout). Both forms are bit-identical to the originals.
+        """
         _, _, h, w, c = x.shape
         if self.spatial_stride > 1:
-            out_h = math.ceil(h / self.spatial_stride)
-            out_w = math.ceil(w / self.spatial_stride)
-            idx_h = np.arange(out_h) * h // out_h
-            idx_w = np.arange(out_w) * w // out_w
-            x = x[:, :, idx_h][:, :, :, idx_w]
+            if h % self.spatial_stride == 0 and w % self.spatial_stride == 0:
+                x = x[:, :, :: self.spatial_stride, :: self.spatial_stride]
+            else:
+                out_h = math.ceil(h / self.spatial_stride)
+                out_w = math.ceil(w / self.spatial_stride)
+                idx_h = np.arange(out_h) * h // out_h
+                idx_w = np.arange(out_w) * w // out_w
+                x = x[:, :, idx_h][:, :, :, idx_w]
         if c != self.out_features:
             reps = math.ceil(self.out_features / c)
-            x = jnp.tile(x, (1,) * (x.ndim - 1) + (reps,))[..., : self.out_features]
+            x = jnp.concatenate([x] * reps, axis=-1)[..., : self.out_features]
         return BatchNormAct(self.out_features, act=False, dtype=self.dtype, name="bn_sc")(
             x, train
         )
