@@ -286,16 +286,28 @@ def measure_loader() -> dict:
                 key = "native_samples_per_sec" if use_native else "numpy_samples_per_sec"
                 results[key] = round(best, 1)
             per_chip = 112.0  # measured train clips/s one v5e chip consumes
-            cores = os.cpu_count() or 1
+            from sensorium_tpu.data.loader import resolve_workers
+
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except AttributeError:
+                cores = os.cpu_count() or 1
+            # The measured rate is an AGGREGATE over the worker threads the
+            # loader actually ran (clamped to usable cores), so per-core
+            # capacity is rate / workers — on the 1-core dev VM the two
+            # coincide, on a real multi-core TPU-VM host they do not.
+            workers_used = resolve_workers(num_threads)
+            aggregate = results["native_samples_per_sec"]
+            per_core = aggregate / workers_used
             results["feed_budget"] = {
                 "host_cores": cores,
-                "per_core_samples_per_sec": results["native_samples_per_sec"],
+                "loader_threads": workers_used,
+                "aggregate_samples_per_sec": round(aggregate, 1),
+                "per_core_samples_per_sec": round(per_core, 1),
                 "chip_demand_samples_per_sec": per_chip,
-                "chips_fed_per_core": round(
-                    results["native_samples_per_sec"] / per_chip, 2
-                ),
+                "chips_fed_per_core": round(per_core / per_chip, 2),
                 "cores_needed_for_8_chips": math.ceil(
-                    8 * per_chip / max(results["native_samples_per_sec"], 1e-9)
+                    8 * per_chip / max(per_core, 1e-9)
                 ),
             }
         finally:

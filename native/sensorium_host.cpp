@@ -42,7 +42,10 @@ void gather_rows_f32(const float* src, int64_t rows, int64_t t,
 // dst[r, s] = max(src[r, idx[s]], 0) — fused gather + target ReLU
 // (reference responses.py:28 clamps targets at zero), writing straight
 // into the collated batch row so no intermediate (N, S) sample array or
-// collate copy exists.
+// collate copy exists.  NaN responses propagate (v != v keeps v), matching
+// np.maximum/torch.relu in the NumPy fallback paths bit-for-bit: a NaN
+// inside a window must surface as a NaN loss, not silently become a zero
+// target only when the native library happens to load.
 void gather_rows_relu_f32(const float* src, int64_t rows, int64_t t,
                           const int64_t* idx, int64_t s, float* dst) {
   for (int64_t r = 0; r < rows; ++r) {
@@ -50,7 +53,7 @@ void gather_rows_relu_f32(const float* src, int64_t rows, int64_t t,
     float* out = dst + r * s;
     for (int64_t j = 0; j < s; ++j) {
       float v = row[idx[j]];
-      out[j] = v > 0.0f ? v : 0.0f;
+      out[j] = (v > 0.0f || v != v) ? v : 0.0f;
     }
   }
 }

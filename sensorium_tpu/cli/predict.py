@@ -47,12 +47,23 @@ def select_device(spec: str | None):
     import jax
 
     platform, _, index = spec.partition(":")
+    previous = jax.config.jax_platforms
     try:
         jax.config.update("jax_platforms", platform)
         devices = jax.devices(platform)
     except RuntimeError as exc:
+        # Restore the config: a failed probe must not leave a bad platform
+        # pinned for the rest of the process (library callers, tests).
+        jax.config.update("jax_platforms", previous)
+        # jax raises RuntimeError both for an unknown platform name and for
+        # a real backend-init failure (e.g. TPU chips held by another
+        # process) — don't mislabel the latter as a bad flag; surface the
+        # original message so the cause is diagnosable.
         raise SystemExit(
-            f"--device {spec!r}: unknown platform {platform!r} ({exc})"
+            f"--device {spec!r}: could not initialize platform "
+            f"{platform!r}: {exc}\n(unknown platform name, or the backend "
+            f"failed to initialize — e.g. TPU chips held by another "
+            f"process; see the pin-chips notes in cli/train.py)"
         ) from exc
     try:
         return devices[int(index)] if index else devices[0]

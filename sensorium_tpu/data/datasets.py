@@ -177,13 +177,24 @@ class MouseTrialStore:
         from sensorium_tpu.data.responses import IdentityResponsesProcessor
 
         frame_indexes = self.indexer.window(anchor)
+        # The fill paths are train/val only, where every trial is labeled
+        # (prediction uses window_sample(with_responses=False)).  An
+        # unlabeled trial here must fail loudly: the allocating get() path
+        # would crash in collate on target=None, and silently skipping the
+        # write would hand uninitialized scratch (or stale zeros) to the
+        # mixer as training targets.
+        if "response_path" not in self.trials[trial_index]:
+            raise ValueError(
+                f"trial {trial_index} has no responses; the zero-copy fill "
+                "path requires labeled trials (train/val splits only)"
+            )
         filler = self._trial_filler(trial_index)
         if filler is not None:
             filler(
                 frame_indexes,
                 self.inputs_processor.pad_fill_value,
                 input_out,
-                target_out if "response_path" in self.trials[trial_index] else None,
+                target_out,
             )
             return
         if self._native_input(trial_index, frame_indexes, out=input_out) is None:
@@ -193,8 +204,6 @@ class MouseTrialStore:
             input_out[...] = self.inputs_processor(frames, behavior, pupil_center)
 
         trial = self.trials[trial_index]
-        if "response_path" not in trial:
-            return
         responses = self._array(trial["response_path"])
         fused = (
             type(self.responses_processor) is IdentityResponsesProcessor

@@ -23,6 +23,25 @@ import numpy as np
 from sensorium_tpu.data.datasets import MiceBatch, collate_mice_batch
 
 
+def resolve_workers(num_threads: int) -> int:
+    """Worker-thread count the loader will actually run.
+
+    More threads than *usable* cores only adds GIL/queue contention, so the
+    request is bounded by the cgroup/affinity limit (not ``os.cpu_count()``,
+    which reports the host core count inside a cpuset-restricted
+    container).  ``SENSORIUM_LOADER_THREADS`` bypasses the clamp entirely:
+    deliberate oversubscription helps cold-cache epochs where threads block
+    in page faults without holding the GIL.
+    """
+    if os.environ.get("SENSORIUM_LOADER_THREADS"):
+        return max(1, num_threads)
+    try:
+        usable = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        usable = os.cpu_count() or num_threads
+    return max(1, min(num_threads, usable))
+
+
 class MiceDataLoader:
     def __init__(
         self,
@@ -67,8 +86,7 @@ class MiceDataLoader:
 
         row_shapes = getattr(self.dataset, "row_shapes", None)
         num_mice = getattr(self.dataset, "num_mice", None)
-        # More threads than cores only adds GIL/queue contention.
-        workers = max(1, min(self.num_threads, os.cpu_count() or self.num_threads))
+        workers = resolve_workers(self.num_threads)
 
         def make_batch_fill(pool, batch_indexes):
             input_shape, target_shape = row_shapes
@@ -131,4 +149,4 @@ class MiceDataLoader:
                     producer.join(timeout=0.1)
 
 
-__all__ = ["MiceDataLoader", "MiceBatch"]
+__all__ = ["MiceDataLoader", "MiceBatch", "resolve_workers"]

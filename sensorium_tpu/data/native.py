@@ -215,6 +215,11 @@ def make_trial_filler(
 
     def fill(indexes: np.ndarray, fill_value: float, input_out, target_out) -> None:
         assert sources is not None
+        # Same marshalling contract as the other wrappers: the C kernel
+        # reads the buffer as contiguous int64 (a no-op when the indexer
+        # already produced one; anything else would be reinterpreted as
+        # garbage window indexes and read out of bounds).
+        indexes = np.ascontiguousarray(indexes, dtype=np.int64)
         fill_sample(
             video_ptr, h, w, t,
             behavior_ptr, bt,

@@ -214,6 +214,44 @@ class TestMixIntoParity:
         np.testing.assert_array_equal(np.asarray(ref_t, np.float32), mt)
 
 
+def test_fill_into_unlabeled_trial_fails_loudly(mice_data):
+    """The fill path serves train/val only, where every trial is labeled.
+    A trial without responses must raise (matching the allocating path's
+    loud collate crash) — silently skipping the write would hand
+    uninitialized mixer scratch to training as targets."""
+    ds = _train_dataset(mice_data)
+    store = ds.stores[0]
+    removed = store.trials[0].pop("response_path")
+    store._filler_cache.clear()  # cached filler was built with responses
+    try:
+        input_shape, target_shape = ds.row_shapes
+        inp = np.empty(input_shape, np.float32)
+        tgt = np.zeros(target_shape, np.float32)
+        with pytest.raises(ValueError, match="no responses"):
+            store.window_sample_into(
+                0, store.indexer.behind, inp, tgt[: store.num_neurons]
+            )
+    finally:
+        store.trials[0]["response_path"] = removed
+        store._filler_cache.clear()
+
+
+def test_resolve_workers_affinity_clamp_and_env_override(monkeypatch):
+    """Worker count is bounded by the cgroup/affinity limit, and an
+    explicit SENSORIUM_LOADER_THREADS bypasses the clamp (deliberate
+    oversubscription for cold-cache, page-fault-bound epochs)."""
+    import os
+
+    from sensorium_tpu.data.loader import resolve_workers
+
+    monkeypatch.delenv("SENSORIUM_LOADER_THREADS", raising=False)
+    usable = len(os.sched_getaffinity(0))
+    assert resolve_workers(1) == 1
+    assert resolve_workers(10_000) == max(1, usable)
+    monkeypatch.setenv("SENSORIUM_LOADER_THREADS", "16")
+    assert resolve_workers(16) == 16
+
+
 class TestNativeFillKernels:
     def test_gather_rows_relu_into(self):
         if not native.available():
@@ -224,6 +262,51 @@ class TestNativeFillKernels:
         out = np.empty((40, 8), np.float32)
         assert native.gather_rows_relu_into(src, idx, out)
         np.testing.assert_array_equal(out, np.maximum(src[:, idx], 0.0))
+
+    def test_gather_rows_relu_propagates_nan(self):
+        """NaN responses must propagate exactly as np.maximum/torch.relu do
+        (NaN in, NaN out) — the native kernel must not silently zero them,
+        or the same seed would yield different targets depending on whether
+        the C++ library loaded, and NaN corruption would be masked."""
+        if not native.available():
+            pytest.skip("native library unavailable")
+        src = np.array(
+            [[np.nan, -1.0, 2.0, np.nan], [0.5, np.nan, -3.0, 0.0]], np.float32
+        )
+        idx = np.arange(4, dtype=np.int64)
+        out = np.empty((2, 4), np.float32)
+        assert native.gather_rows_relu_into(src, idx, out)
+        np.testing.assert_array_equal(out, np.maximum(src[:, idx], 0.0))
+
+    def test_filler_coerces_index_dtype(self):
+        """fill() must marshal non-int64/non-contiguous indexes like every
+        other native wrapper instead of reinterpreting the raw buffer."""
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        video = rng.uniform(0, 255, (18, 24, 50)).astype(np.float32)
+        behavior = rng.uniform(0, 5, (2, 50)).astype(np.float32)
+        pupil = rng.uniform(50, 200, (2, 50)).astype(np.float32)
+        resp = rng.normal(size=(15, 50)).astype(np.float32)
+        filler = native.make_trial_filler(video, behavior, pupil, resp, (24, 24))
+        assert filler is not None
+        idx64 = np.arange(5, 21, 2, dtype=np.int64)
+        ref_input = np.empty((5, 8, 24, 24), np.float32)
+        ref_target = np.empty((15, 8), np.float32)
+        filler(idx64, 0.0, ref_input, ref_target)
+        from sensorium_tpu.data.inputs import StackInputsProcessor
+
+        proc = StackInputsProcessor(size=(24, 24), pad_fill_value=0.0)
+        # int32 indexes and a non-contiguous (negative-stride view) int64
+        # array: both must produce the same sample as the processors.
+        for bad_idx in (idx64.astype(np.int32), np.arange(42, 4, -2)[::-1][2:10]):
+            input_out = np.empty_like(ref_input)
+            target_out = np.empty_like(ref_target)
+            filler(bad_idx, 0.0, input_out, target_out)
+            sel = np.ascontiguousarray(bad_idx, np.int64)
+            expected = proc(video[..., sel], behavior[..., sel], pupil[..., sel])
+            np.testing.assert_array_equal(input_out, np.asarray(expected, np.float32))
+            np.testing.assert_array_equal(target_out, np.maximum(resp[:, sel], 0.0))
 
     def test_make_trial_filler_matches_processors(self):
         if not native.available():

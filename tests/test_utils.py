@@ -127,3 +127,15 @@ class TestPredictDeviceFlag:
         assert dev.platform == "cpu" and dev.id == 0
         dev1 = select_device("cpu:1")
         assert dev1.platform == "cpu" and dev1.id == 1
+
+    def test_select_device_malformed_specs(self):
+        from sensorium_tpu.cli.predict import select_device
+
+        with pytest.raises(SystemExit, match="bad device index"):
+            select_device("cpu:x")
+        with pytest.raises(SystemExit, match="bad device index"):
+            select_device("cpu:99")
+        # Backend failures keep the original jax message (a real TPU-init
+        # failure must not be mislabeled as an unknown platform name).
+        with pytest.raises(SystemExit, match="could not initialize"):
+            select_device("nosuchplatform")
