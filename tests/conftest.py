@@ -14,3 +14,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compile cache: the flagship-shape parity/import tests spend
+# most of their minutes in XLA:CPU compiles that are identical run to run
+# (the CLI subprocesses spawned by tests already use the same cache).
+from sensorium_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
