@@ -15,6 +15,10 @@ Modes (flags):
   (none)      headline training throughput with the default dw backend
   --ab        also measure the alternate dw backend (pallas vs xla A/B);
               the headline value is the faster one
+  --fit       END-TO-END fit-loop throughput: synthetic mmap data ->
+              threaded loader -> host->device staging -> jitted step,
+              through MouseModel.fit (proves the system sustains the
+              bare-step headline, not just the kernel)
   --distill   distillation training throughput (student + frozen teacher)
   --infer     batched sliding-window predictor throughput (windows/s)
   --loader    host input-pipeline throughput (samples/s) on synthetic mmap
@@ -192,6 +196,60 @@ def measure_train_subprocess(dw_impl: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])["detail"]
 
 
+def _write_synth_tree(root, length: int = 300, trials: int = 4) -> None:
+    """Synthetic mmap'd data tree for every mouse at production geometry."""
+    import numpy as np
+
+    from sensorium_tpu import constants
+
+    rng = np.random.default_rng(0)
+    for mouse in constants.mice:
+        mdir = root / mouse
+        for sub in ("data/videos", "data/behavior", "data/pupil_center",
+                    "data/responses", "meta/trials", "meta/neurons"):
+            (mdir / sub).mkdir(parents=True)
+        np.save(mdir / "meta/trials/tiers.npy", np.array(["train"] * trials))
+        n_neurons = constants.mouse2num_neurons[mouse]
+        np.save(mdir / "meta/neurons/unit_ids.npy",
+                np.arange(1, n_neurons + 1, dtype=np.int64))
+        np.save(mdir / "meta/neurons/cell_motor_coordinates.npy",
+                rng.uniform(0, 100, (n_neurons, 3)).astype(np.float32))
+        for trial in range(trials):
+            np.save(mdir / f"data/videos/{trial}.npy",
+                    rng.uniform(0, 255, (36, 64, length)).astype(np.float32))
+            np.save(mdir / f"data/behavior/{trial}.npy",
+                    rng.uniform(0, 5, (2, length)).astype(np.float32))
+            np.save(mdir / f"data/pupil_center/{trial}.npy",
+                    rng.uniform(50, 200, (2, length)).astype(np.float32))
+            np.save(mdir / f"data/responses/{trial}.npy",
+                    rng.gamma(1.5, 1.0, (n_neurons, length)).astype(np.float32))
+
+
+def _make_train_dataset(epoch_size: int):
+    """Production-geometry ``TrainMiceDataset`` (CutMix 0.5, 64x64, 31-frame
+    windows) over whatever tree ``constants.sensorium_dir`` points at."""
+    from sensorium_tpu import constants
+    from sensorium_tpu.data.datasets import TrainMiceDataset
+    from sensorium_tpu.data.indexes import WindowIndexer
+    from sensorium_tpu.data.inputs import get_inputs_processor
+    from sensorium_tpu.data.mixers import CutMix
+    from sensorium_tpu.data.mouse_data import get_mouse_data
+    from sensorium_tpu.data.responses import get_responses_processor
+
+    mice_data = [
+        get_mouse_data(m, tuple(constants.folds_splits)) for m in constants.mice
+    ]
+    return TrainMiceDataset(
+        mice_data,
+        WindowIndexer(size=FRAMES, step=2, position="last"),
+        get_inputs_processor("stack_inputs", {"size": (HEIGHT, WIDTH),
+                                              "pad_fill_value": 0.0}),
+        get_responses_processor("identity", {}),
+        mouse_epoch_size=epoch_size // constants.num_mice,
+        mixer=CutMix(alpha=1.0, prob=0.5),  # true_batch_001.py cutmix
+    )
+
+
 def measure_loader() -> dict:
     """Host input-pipeline throughput at the real training shapes.
 
@@ -209,43 +267,15 @@ def measure_loader() -> dict:
     import tempfile
     from pathlib import Path
 
-    import numpy as np
-
     from sensorium_tpu import constants
     from sensorium_tpu.data import native as native_mod
-    from sensorium_tpu.data.datasets import TrainMiceDataset
-    from sensorium_tpu.data.indexes import WindowIndexer
-    from sensorium_tpu.data.inputs import get_inputs_processor
     from sensorium_tpu.data.loader import MiceDataLoader
-    from sensorium_tpu.data.mouse_data import get_mouse_data
-    from sensorium_tpu.data.responses import get_responses_processor
 
     epoch_size = 2560
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
-        rng = np.random.default_rng(0)
         root = Path(tmp)
-        for mouse in constants.mice:
-            mdir = root / mouse
-            for sub in ("data/videos", "data/behavior", "data/pupil_center",
-                        "data/responses", "meta/trials", "meta/neurons"):
-                (mdir / sub).mkdir(parents=True)
-            length = 300
-            np.save(mdir / "meta/trials/tiers.npy", np.array(["train"] * 4))
-            n_neurons = constants.mouse2num_neurons[mouse]
-            np.save(mdir / "meta/neurons/unit_ids.npy",
-                    np.arange(1, n_neurons + 1, dtype=np.int64))
-            np.save(mdir / "meta/neurons/cell_motor_coordinates.npy",
-                    rng.uniform(0, 100, (n_neurons, 3)).astype(np.float32))
-            for trial in range(4):
-                np.save(mdir / f"data/videos/{trial}.npy",
-                        rng.uniform(0, 255, (36, 64, length)).astype(np.float32))
-                np.save(mdir / f"data/behavior/{trial}.npy",
-                        rng.uniform(0, 5, (2, length)).astype(np.float32))
-                np.save(mdir / f"data/pupil_center/{trial}.npy",
-                        rng.uniform(50, 200, (2, length)).astype(np.float32))
-                np.save(mdir / f"data/responses/{trial}.npy",
-                        rng.gamma(1.5, 1.0, (n_neurons, length)).astype(np.float32))
+        _write_synth_tree(root)
 
         from sensorium_tpu.data import mouse_data as mouse_data_mod
 
@@ -253,24 +283,10 @@ def measure_loader() -> dict:
         constants.sensorium_dir = root
         mouse_data_mod.get_folds_tiers.cache_clear()
         try:
-            from sensorium_tpu.data.mixers import CutMix
-
             for use_native in (True, False):
                 os.environ["SENSORIUM_NATIVE"] = "1" if use_native else "0"
                 native_mod.reset()
-                mice_data = [
-                    get_mouse_data(m, tuple(constants.folds_splits))
-                    for m in constants.mice
-                ]
-                dataset = TrainMiceDataset(
-                    mice_data,
-                    WindowIndexer(size=FRAMES, step=2, position="last"),
-                    get_inputs_processor("stack_inputs", {"size": (HEIGHT, WIDTH),
-                                                          "pad_fill_value": 0.0}),
-                    get_responses_processor("identity", {}),
-                    mouse_epoch_size=epoch_size // constants.num_mice,
-                    mixer=CutMix(alpha=1.0, prob=0.5),  # true_batch_001.py cutmix
-                )
+                dataset = _make_train_dataset(epoch_size)
                 num_threads = int(os.environ.get("SENSORIUM_LOADER_THREADS", "8"))
                 loader = MiceDataLoader(dataset, batch_size=BATCH, num_threads=num_threads)
                 best = 0.0
@@ -316,6 +332,103 @@ def measure_loader() -> dict:
             constants.sensorium_dir = old_dir
             mouse_data_mod.get_folds_tiers.cache_clear()
     return results
+
+
+def measure_fit() -> dict:
+    """END-TO-END training throughput through the real fit loop.
+
+    The headline bench times the bare jitted step on device-resident data;
+    this mode proves the SYSTEM sustains it: synthetic mmap trials ->
+    threaded zero-copy loader -> host->device staging -> jitted train step,
+    driven by ``MouseModel.fit`` exactly as ``cli/train.py`` runs it
+    (replacing reference scripts/train.py:101-145).  Epoch 0 pays compile +
+    page-cache warmup; the reported rate is the best of two steady-state
+    epochs.  ``h2d_mb_per_sec`` is the measured host->device bandwidth for
+    one staged batch — on a PCIe-attached TPU VM the ~28 MB batch costs
+    ~2 ms/step, while remote-tunnel dev environments are transfer-bound
+    (the fit loop overlaps staging with compute via async dispatch, but a
+    tunnel slower than ~100 MB/s caps the loop below the step rate).
+    """
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    from sensorium_tpu import constants
+    from sensorium_tpu.data.loader import MiceDataLoader
+    from sensorium_tpu.engine.model import MouseModel
+
+    epoch_size = 960  # 30 batches of 32
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        _write_synth_tree(root)
+
+        from sensorium_tpu.data import mouse_data as mouse_data_mod
+
+        old_dir = constants.sensorium_dir
+        constants.sensorium_dir = root
+        mouse_data_mod.get_folds_tiers.cache_clear()
+        try:
+            dataset = _make_train_dataset(epoch_size)
+            num_threads = int(os.environ.get("SENSORIUM_LOADER_THREADS", "8"))
+            loader = MiceDataLoader(
+                dataset, batch_size=BATCH, shuffle=True, num_threads=num_threads,
+                drop_last=True,
+            )
+
+            model = MouseModel(_flagship_params())
+            model.set_ema(0.999)
+            model.build_state(seed=0, learning_rate=2.4e-3)
+            # Epoch log lines must not break the one-JSON-line stdout
+            # contract — keep them as stderr diagnostics.
+            import logging
+
+            for handler in model.logger.handlers:
+                if (
+                    isinstance(handler, logging.StreamHandler)
+                    and getattr(handler, "stream", None) is sys.stdout
+                ):
+                    handler.stream = sys.stderr
+
+            # One staged batch measures the raw host->device path.
+            # block_until_ready can be a no-op under remote-execution
+            # tunnels — sync by fetching one scalar from EACH staged array.
+            def stage_and_drain():
+                staged = jax.device_put((batch.inputs, batch.targets, batch.weights))
+                for arr in staged:
+                    float(jax.device_get(arr.ravel()[0]))
+
+            batch = next(iter(loader))
+            nbytes = batch.inputs.nbytes + batch.targets.nbytes + batch.weights.nbytes
+            staged_nbytes = (
+                model._stage_inputs(batch.inputs).nbytes
+                + batch.targets.nbytes
+                + batch.weights.nbytes
+            )
+            stage_and_drain()  # warm the transfer path
+            start = time.perf_counter()
+            for _ in range(3):
+                stage_and_drain()
+            h2d = 3 * nbytes / (time.perf_counter() - start)
+
+            epochs = {}
+            for epoch in range(3):  # epoch 0: compile + page-cache warmup
+                start = time.perf_counter()
+                model.fit(loader, num_epochs=1, start_epoch=epoch)
+                epochs[f"epoch{epoch}_s"] = round(time.perf_counter() - start, 2)
+            samples = len(loader) * BATCH
+            best = samples / min(epochs["epoch1_s"], epochs["epoch2_s"])
+            return {
+                "fit_clips_per_sec": round(best, 2),
+                "batches_per_epoch": len(loader),
+                "batch_mb": round(nbytes / 2**20, 2),
+                "staged_batch_mb": round(staged_nbytes / 2**20, 2),
+                "h2d_mb_per_sec": round(h2d / 2**20, 1),
+                **epochs,
+            }
+        finally:
+            constants.sensorium_dir = old_dir
+            mouse_data_mod.get_folds_tiers.cache_clear()
 
 
 def measure_distill() -> dict:
@@ -442,8 +555,10 @@ def main():
     parser.add_argument("--infer", action="store_true", help="predictor throughput")
     parser.add_argument("--distill", action="store_true",
                         help="distillation training throughput (student+teacher)")
+    parser.add_argument("--fit", action="store_true",
+                        help="end-to-end fit-loop throughput (loader + staging + step)")
     parser.add_argument("--all", action="store_true",
-                        help="run every mode (train, distill, infer, loader) in "
+                        help="run every mode (train, fit, distill, infer, loader) in "
                              "fresh subprocesses; print one combined JSON line")
     parser.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     args = parser.parse_args()
@@ -459,6 +574,7 @@ def main():
         combined = {}
         for mode, flags in [
             ("train", train_flags),
+            ("fit", ["--fit"]),
             ("distill", ["--distill"]),
             ("infer", ["--infer"]),
             ("loader", ["--loader"]),
@@ -502,6 +618,23 @@ def main():
     from sensorium_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.fit:
+        detail = measure_fit()
+        print(
+            json.dumps(
+                {
+                    "metric": "fit_loop_clips_per_sec_b32",
+                    "value": detail["fit_clips_per_sec"],
+                    "unit": "clips/s",
+                    "vs_baseline": round(
+                        detail["fit_clips_per_sec"] / BASELINE_CLIPS_PER_SEC, 3
+                    ),
+                    "detail": detail,
+                }
+            )
+        )
+        return
 
     if args.distill:
         detail = measure_distill()

@@ -175,6 +175,28 @@ class MouseModel:
             self._metric_stats_fns[key] = jax.jit(key)
         return self._metric_stats_fns[key]
 
+    def _stage_inputs(self, inputs):
+        """Cast inputs to the model's compute dtype BEFORE host->device
+        staging.  Bit-identical when the model computes in bf16: its first
+        op is ``.astype(self.dtype)`` (models/dwiseneuro.py — the transpose
+        then cast), and ml_dtypes' host cast uses the same
+        round-to-nearest-even, so this only moves the cast across the
+        transfer — halving the dominant staging buffer (a (32,5,16,64,64)
+        f32 batch is 42 of the 56 MB staged per step).  fp32 models (golden
+        parity, imports) stage untouched; ``SENSORIUM_STAGE_BF16=0``
+        disables.
+        """
+        import os
+
+        dtype = getattr(self.nn_module, "dtype", None)
+        if (
+            dtype is not None
+            and jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+            and os.environ.get("SENSORIUM_STAGE_BF16", "1") != "0"
+        ):
+            return np.asarray(inputs).astype(jnp.bfloat16)
+        return inputs
+
     def _pad_batch_to_mesh(self, inputs, targets, weights):
         """Zero-weight-pad a ragged EVAL batch up to the data-axis multiple.
 
@@ -212,7 +234,7 @@ class MouseModel:
                     "padding would alter BN batch statistics"
                 )
         inputs, targets, weights = mesh_lib.shard_batch(
-            self.mesh, batch.inputs, batch.targets, batch.weights
+            self.mesh, self._stage_inputs(batch.inputs), batch.targets, batch.weights
         )
         if self.distill_ratio > 0.0:
             self.state, loss = step(self.state, inputs, targets, weights, self.teacher_vars)
@@ -227,7 +249,9 @@ class MouseModel:
         step = self._ensure_val_step()
         inputs, targets, weights = mesh_lib.shard_batch(
             self.mesh,
-            *self._pad_batch_to_mesh(batch.inputs, batch.targets, batch.weights),
+            *self._pad_batch_to_mesh(
+                self._stage_inputs(batch.inputs), batch.targets, batch.weights
+            ),
         )
         loss, prediction = step(
             self.state.eval_params, self.state.eval_batch_stats, inputs, targets, weights

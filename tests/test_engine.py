@@ -471,3 +471,38 @@ class TestDistillation:
         plain.build_state(seed=0, learning_rate=1e-3)
         plain_loss = float(plain.train_step(batch))
         assert loss != pytest.approx(plain_loss, rel=1e-6)
+
+
+class TestBf16InputStaging:
+    """Host-side bf16 staging (engine/model.py ``_stage_inputs``) must be
+    bit-identical to the model's own on-device input cast — it only moves
+    ``.astype(bfloat16)`` across the host->device transfer."""
+
+    def test_host_cast_matches_device_cast_bitwise(self):
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 255, (2, 5, 4, 16, 16)).astype(np.float32)
+        host = np.asarray(x).astype(jnp.bfloat16)
+        device = np.asarray(jax.device_get(jnp.asarray(x).astype(jnp.bfloat16)))
+        assert host.dtype == device.dtype
+        assert np.array_equal(host.view(np.uint16), device.view(np.uint16))
+
+    def test_staged_step_loss_matches_f32_staging(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        batch = random_batch(rng)
+        params = tiny_params()
+        nn_kwargs = dict(params["nn_module"][1], dtype="bfloat16")
+        params = dict(params, nn_module=("dwiseneuro", nn_kwargs))
+        losses = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("SENSORIUM_STAGE_BF16", flag)
+            model = MouseModel(params)
+            model.build_state(seed=0, learning_rate=1e-3)
+            staged = model._stage_inputs(batch.inputs)
+            assert staged.dtype == (np.float32 if flag == "0" else jnp.bfloat16)
+            losses[flag] = float(model.train_step(batch))
+        assert losses["1"] == pytest.approx(losses["0"], rel=1e-6)
+
+    def test_fp32_model_staging_is_identity(self):
+        model = MouseModel(tiny_params())
+        x = np.ones((1, 5, 4, 16, 16), np.float32)
+        assert model._stage_inputs(x) is x
