@@ -398,7 +398,9 @@ def measure_fit() -> dict:
                 for arr in staged:
                     float(jax.device_get(arr.ravel()[0]))
 
-            batch = next(iter(loader))
+            batch_it = iter(loader)
+            batch = next(batch_it)
+            batch_it.close()  # stop the producer/prefetch threads deterministically
             nbytes = batch.inputs.nbytes + batch.targets.nbytes + batch.weights.nbytes
             staged_nbytes = (
                 model._stage_inputs(batch.inputs).nbytes
@@ -548,6 +550,51 @@ def measure_infer() -> dict:
     }
 
 
+def _init_backend_or_die(timeout_s: float = 300.0) -> None:
+    """Initialize the JAX backend under a watchdog.
+
+    PJRT backend discovery can block indefinitely (not raise) when the
+    device endpoint is unreachable; a hung bench is worse than a failed
+    one for the driver, so after ``timeout_s`` the watchdog prints the
+    one-line contract JSON with a null value and hard-exits nonzero.
+    Override via ``SENSORIUM_BENCH_INIT_TIMEOUT`` (seconds).
+    """
+    import threading
+
+    done = threading.Event()
+
+    def _die():
+        if done.is_set():
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": "train_clips_per_sec_per_chip_b32_fwd_bwd",
+                    "value": None,
+                    "unit": "clips/s",
+                    "vs_baseline": None,
+                    "detail": {
+                        "error": (
+                            f"JAX backend init did not complete within "
+                            f"{timeout_s:.0f}s — device endpoint unreachable?"
+                        )
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+    timer = threading.Timer(timeout_s, _die)
+    timer.daemon = True
+    timer.start()
+    import jax
+
+    jax.devices()
+    done.set()
+    timer.cancel()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ab", action="store_true", help="A/B pallas vs xla dw impls")
@@ -618,6 +665,17 @@ def main():
     from sensorium_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if not args.loader:
+        # Every mode except --loader needs the device.  When the TPU
+        # endpoint is unreachable (e.g. a down tunnel) backend discovery
+        # blocks forever inside the PJRT plugin with no exception to
+        # catch — emit the contract JSON line and exit nonzero instead of
+        # hanging the driver (observed 2026-08-17: jax.devices() blocked
+        # >10 min at ~0% CPU with the axon tunnel down).
+        _init_backend_or_die(
+            timeout_s=float(os.environ.get("SENSORIUM_BENCH_INIT_TIMEOUT", "300"))
+        )
 
     if args.fit:
         detail = measure_fit()

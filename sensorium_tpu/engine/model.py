@@ -188,10 +188,16 @@ class MouseModel:
         """
         import os
 
-        dtype = getattr(self.nn_module, "dtype", None)
+        def _is_bf16(module):
+            d = getattr(module, "dtype", None)
+            return d is not None and jnp.dtype(d) == jnp.dtype(jnp.bfloat16)
+
         if (
-            dtype is not None
-            and jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+            _is_bf16(self.nn_module)
+            # The staged inputs also feed the distillation teacher
+            # (steps.py make_train_step); a non-bf16 teacher would see
+            # pre-quantized inputs, changing its predictions — stage f32.
+            and (self.teacher_module is None or _is_bf16(self.teacher_module))
             and os.environ.get("SENSORIUM_STAGE_BF16", "1") != "0"
         ):
             return np.asarray(inputs).astype(jnp.bfloat16)

@@ -506,3 +506,23 @@ class TestBf16InputStaging:
         model = MouseModel(tiny_params())
         x = np.ones((1, 5, 4, 16, 16), np.float32)
         assert model._stage_inputs(x) is x
+
+    def test_fp32_teacher_disables_bf16_staging(self):
+        """The staged inputs also feed the distill teacher; an fp32 teacher
+        must not silently receive bf16-quantized inputs."""
+        params = tiny_params()
+        nn_kwargs = dict(params["nn_module"][1], dtype="bfloat16")
+        params = dict(params, nn_module=("dwiseneuro", nn_kwargs))
+        model = MouseModel(params)
+        model.build_state(seed=0, learning_rate=1e-3)
+        x = np.ones((1, 5, 4, 16, 16), np.float32)
+        assert model._stage_inputs(x).dtype == jnp.bfloat16
+
+        teacher = MouseModel(tiny_params())  # fp32 teacher
+        tstate = teacher.build_state(seed=1, learning_rate=1e-3)
+        model.set_distill(
+            teacher.nn_module,
+            {"params": tstate.params, "batch_stats": tstate.batch_stats},
+            ratio=0.36,
+        )
+        assert model._stage_inputs(x) is x  # staging reverts to f32
