@@ -39,6 +39,26 @@ def download_file(url: str, dest: Path) -> None:
             shutil.copyfileobj(response.raw, output)
 
 
+def missing_backfill_trials(mouse_dir: Path) -> list[int]:
+    """Trial ids of test-split tiers whose responses file is absent.
+
+    Lets a rerun detect (and repair) a back-fill that was skipped earlier —
+    e.g. the first download ran without deeplake installed — instead of the
+    ``mouse_dir.exists()`` early-return making the skip permanent.
+    """
+    tiers_path = mouse_dir / "meta" / "trials" / "tiers.npy"
+    if not tiers_path.exists():
+        return []
+    tiers = np.load(str(tiers_path))
+    unlabeled = set(constants.unlabeled_splits)
+    return [
+        trial_id
+        for trial_id, tier in enumerate(tiers)
+        if str(tier) in unlabeled
+        and not (mouse_dir / "data" / "responses" / f"{trial_id}.npy").exists()
+    ]
+
+
 def backfill_old_mouse_responses(mouse: str, mouse_dir: Path) -> None:
     """Fetch the released test-split responses for an old mouse."""
     try:
@@ -63,6 +83,10 @@ def download_mouse(mouse: str, sensorium_dir: Path) -> None:
 
     if mouse_dir.exists():
         print(f"Folder '{mouse_dir}' already exists, skip download")
+        # The back-fill may still be pending (e.g. deeplake was not
+        # installed on the first run); repair it on rerun.
+        if mouse in constants.old_mice and missing_backfill_trials(mouse_dir):
+            backfill_old_mouse_responses(mouse, mouse_dir)
         return
 
     download_file(url, zip_path)

@@ -28,7 +28,12 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     experiments = sorted(args.experiments.split(","))
-    assert len(experiments) > 1
+    if len(experiments) < 2:
+        # Not an assert: under ``python -O`` an assert is stripped and a
+        # single-experiment "ensemble" would rewrite its own predictions.
+        raise SystemExit(
+            "-e expects at least two comma-separated experiments to ensemble"
+        )
     experiment_name = ensemble_experiments(experiments, args.split, args.dataset)
     if args.split == "folds":
         evaluate_folds_predictions(experiment_name, args.dataset)

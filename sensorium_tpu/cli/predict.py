@@ -121,6 +121,7 @@ def predict_unlabeled_split(
 
 def main():
     import contextlib
+    import os
 
     import jax
 
@@ -128,6 +129,17 @@ def main():
 
     enable_compilation_cache()
     args = parse_arguments()
+    if args.device and args.mesh:
+        # create_mesh() spans every local device, contradicting a
+        # single-device pin; refusing beats silently running on all chips.
+        raise SystemExit("--device and --mesh are mutually exclusive")
+    # Honor a platform override before any backend initialization, like
+    # cli/train.py (env JAX_PLATFORMS alone is unreliable once a TPU
+    # plugin is installed).  --device pins its own platform in
+    # select_device and takes precedence.
+    platform = os.environ.get("SENSORIUM_JAX_PLATFORM")
+    if platform and not args.device:
+        jax.config.update("jax_platforms", platform)
     device = select_device(args.device)
     mesh = None
     if args.mesh:

@@ -122,18 +122,27 @@ def probe_device_count() -> int:
     # TPU plugin is installed — same pattern as __graft_entry__'s dryrun).
     code = (
         "import os, jax\n"
-        "p = os.environ.get('SENSORIUM_JAX_PLATFORM')\n"
+        "p = (os.environ.get('SENSORIUM_JAX_PLATFORM')\n"
+        "     or os.environ.get('JAX_PLATFORMS'))\n"
         "c = os.environ.get('SENSORIUM_CPU_DEVICES')\n"
         "if p: jax.config.update('jax_platforms', p)\n"
         "if c: jax.config.update('jax_num_cpu_devices', int(c))\n"
         "print(len(jax.devices()))"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=300,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        # Backend discovery can hang (not raise) when a TPU endpoint is
+        # unreachable; a hung probe must not hang the orchestrator.
+        raise RuntimeError(
+            "device-count probe timed out after 300s — device endpoint "
+            "unreachable? Pass an explicit --fold-procs N instead of auto"
+        ) from None
     if proc.returncode != 0:
         raise RuntimeError(f"device-count probe failed:\n{proc.stderr[-1000:]}")
     return int(proc.stdout.strip().splitlines()[-1])
@@ -223,7 +232,9 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                     cmd.append("--resume")
                 if args.debug_nans:
                     cmd.append("--debug-nans")
-                if args.trace:
+                if args.trace and fold == folds_splits[0]:
+                    # Match the documented (and sequential-path) behavior:
+                    # trace only the FIRST trained fold, not all children.
                     cmd += ["--trace", str(Path(args.trace) / fold)]
                 env = dict(os.environ)
                 env["PYTHONPATH"] = os.pathsep.join(
@@ -299,6 +310,12 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
 
 
 def build_mesh(args):
+    if args.mesh not in ("data", "data,model"):
+        # A typo must not silently fall back to a different sharding plan.
+        raise SystemExit(
+            f"--mesh {args.mesh!r}: expected 'data' (batch DP) or "
+            "'data,model' (DP + tensor parallelism)"
+        )
     if args.no_mesh or len(jax.devices()) == 1:
         return None
     if args.mesh == "data,model":

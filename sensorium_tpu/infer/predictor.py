@@ -172,7 +172,9 @@ class Predictor:
 
     def _trial_fn_hoststack(self, mouse_index: int):
         """Jitted full-trial prediction from a host-assembled (5,T,H,W) stack
-        (fallback for non-``stack_inputs`` processors and oversized frames)."""
+        (fallback for non-``stack_inputs`` processors; oversized frames also
+        route here so they hit ``StackInputsProcessor``'s clear canvas-size
+        ValueError instead of a device-assembly shape error)."""
         key = ("hoststack", mouse_index)
         if key not in self._window_fns:
 

@@ -100,3 +100,36 @@ def test_backfill_writes_released_responses(tmp_path, monkeypatch):
     for i, trial_id in enumerate((7, 9)):
         saved = np.load(tmp_path / mouse / "data" / "responses" / f"{trial_id}.npy")
         np.testing.assert_array_equal(saved, responses[i])
+
+
+def test_rerun_repairs_skipped_backfill(tmp_path, monkeypatch):
+    """A back-fill skipped on the first run (no deeplake) must be repaired
+    on rerun, not permanently lost to the mouse_dir-exists early-return."""
+    mouse = constants.old_mice[0]
+    mouse_dir = tmp_path / mouse
+    (mouse_dir / "data" / "responses").mkdir(parents=True)
+    (mouse_dir / "meta" / "trials").mkdir(parents=True)
+    # Trial 0 labeled (has responses), trial 1 is an unlabeled-split tier
+    # whose responses were never back-filled.
+    tiers = np.array(["train", constants.unlabeled_splits[0]])
+    np.save(mouse_dir / "meta" / "trials" / "tiers.npy", tiers)
+    np.save(mouse_dir / "data" / "responses" / "0.npy", np.zeros(3, np.float32))
+
+    assert dl.missing_backfill_trials(mouse_dir) == [1]
+
+    calls = []
+    monkeypatch.setattr(
+        dl, "backfill_old_mouse_responses", lambda m, d: calls.append((m, d))
+    )
+    monkeypatch.setattr(
+        dl, "download_file", lambda url, dest: (_ for _ in ()).throw(AssertionError)
+    )
+    dl.download_mouse(mouse, tmp_path)  # dir exists: no download, but repair
+    assert calls == [(mouse, mouse_dir)]
+
+    # Once the responses exist, a further rerun is a full no-op.
+    np.save(mouse_dir / "data" / "responses" / "1.npy", np.zeros(3, np.float32))
+    assert dl.missing_backfill_trials(mouse_dir) == []
+    calls.clear()
+    dl.download_mouse(mouse, tmp_path)
+    assert calls == []
