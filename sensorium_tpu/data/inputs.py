@@ -8,8 +8,9 @@ Channel layout (reference: ``/root/reference/src/inputs.py:15-36``):
 No normalization is applied — the model's first BatchNorm learns it.
 
 Unlike the reference (one sample at a time through torch), processors here
-are pure NumPy and also expose a vectorized ``batch`` path used by the
-batched sliding-window predictor.
+are pure NumPy; the batched sliding-window predictor assembles its inputs
+on device (infer/predictor.py) and only falls back to this host path for
+non-``stack_inputs`` processors.
 """
 
 from __future__ import annotations

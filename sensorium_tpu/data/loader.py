@@ -29,12 +29,18 @@ def resolve_workers(num_threads: int) -> int:
     More threads than *usable* cores only adds GIL/queue contention, so the
     request is bounded by the cgroup/affinity limit (not ``os.cpu_count()``,
     which reports the host core count inside a cpuset-restricted
-    container).  ``SENSORIUM_LOADER_THREADS`` bypasses the clamp entirely:
-    deliberate oversubscription helps cold-cache epochs where threads block
-    in page faults without holding the GIL.
+    container).  ``SENSORIUM_LOADER_THREADS=N`` overrides both the
+    configured count and the clamp: deliberate oversubscription helps
+    cold-cache epochs where threads block in page faults without holding
+    the GIL.
     """
-    if os.environ.get("SENSORIUM_LOADER_THREADS"):
-        return max(1, num_threads)
+    override = os.environ.get("SENSORIUM_LOADER_THREADS")
+    if override:
+        try:
+            return max(1, int(override))
+        except ValueError:
+            # Non-numeric value: treat as clamp-bypass only (old behavior).
+            return max(1, num_threads)
     try:
         usable = len(os.sched_getaffinity(0))
     except AttributeError:  # non-Linux

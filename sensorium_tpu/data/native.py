@@ -28,7 +28,13 @@ _load_lock = threading.Lock()
 
 
 def reset() -> None:
-    """Drop the cached library handle (re-evaluates SENSORIUM_NATIVE)."""
+    """Drop the cached library handle (re-evaluates SENSORIUM_NATIVE).
+
+    Only affects FUTURE ``_load_library`` calls: datasets built earlier
+    hold per-trial fillers whose closures captured the previous handle and
+    keep calling it — rebuild any ``MouseTrialStore``/dataset after
+    ``reset()`` for the new setting to take effect (what the A/B tests do).
+    """
     global _lib, _lib_checked
     with _load_lock:
         _lib = None
@@ -56,20 +62,47 @@ def _load_library_locked():
             return None
         try:
             if not _LIB_PATH.exists():
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+                _build()
             lib = ctypes.CDLL(str(_LIB_PATH))
+            _configure(lib)
+        except AttributeError:
+            # A stale prebuilt .so lacking a newer entry point (build/ is
+            # gitignored, so it can outlive the .cpp that produced it).
+            # Force a rebuild; the Makefile's atomic rename gives the new
+            # file a fresh inode, so this re-dlopen maps the NEW library
+            # rather than returning the stale cached handle.
+            try:
+                _build(force=True)
+                lib = ctypes.CDLL(str(_LIB_PATH))
+                _configure(lib)
+            except (OSError, subprocess.SubprocessError, AttributeError):
+                return None
         except (OSError, subprocess.SubprocessError):
             return None
-        _configure(lib)
         _lib = lib
         return _lib
     finally:
         _lib_checked = True
+
+
+def _build(force: bool = False) -> None:
+    """Run ``make`` under a cross-process file lock.
+
+    The in-process ``_load_lock`` cannot stop N *processes* (e.g.
+    ``--fold-procs`` on a fresh checkout) from racing concurrent links of
+    the same .so; the flock serializes them (the Makefile's atomic rename
+    additionally guarantees no partial file is ever dlopen'd).
+    """
+    import fcntl
+
+    build_dir = _NATIVE_DIR / "build"
+    build_dir.mkdir(parents=True, exist_ok=True)
+    with open(build_dir / ".build.lock", "w") as lock_file:
+        fcntl.flock(lock_file, fcntl.LOCK_EX)
+        cmd = ["make", "-C", str(_NATIVE_DIR)]
+        if force:
+            cmd.insert(1, "-B")
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
 
 
 def _configure(lib) -> None:
@@ -128,6 +161,9 @@ def gather_rows(src: np.ndarray, indexes: np.ndarray) -> np.ndarray:
     rows, t = src.shape
     if src.strides[0] != t * 4:
         return np.ascontiguousarray(src[..., indexes])
+    if indexes.size == 0 or indexes.min() < 0 or indexes.max() >= t:
+        # NumPy raises a loud IndexError; the C kernel would read OOB.
+        return np.ascontiguousarray(src[..., indexes])
     out = np.empty((rows, indexes.shape[0]), np.float32)
     lib.gather_rows_f32(_f32ptr(src), rows, t, _i64ptr(indexes), indexes.shape[0], _f32ptr(out))
     return out
@@ -154,6 +190,9 @@ def gather_rows_relu_into(src: np.ndarray, indexes: np.ndarray, out: np.ndarray)
     if src.strides[0] != t * 4 or out.shape != (rows, indexes.shape[0]):
         return False
     indexes = np.ascontiguousarray(indexes, dtype=np.int64)
+    if indexes.size == 0 or indexes.min() < 0 or indexes.max() >= t:
+        # Caller's NumPy fallback raises a loud IndexError.
+        return False
     lib.gather_rows_relu_f32(
         _f32ptr(src), rows, t, _i64ptr(indexes), indexes.shape[0], _f32ptr(out)
     )
@@ -189,7 +228,13 @@ def make_trial_filler(
     if h > height or w > width:
         return None
     for sig in (behavior, pupil_center):
-        if sig.dtype != np.float32 or sig.ndim != 2 or not sig.flags["C_CONTIGUOUS"]:
+        # The C kernel reads exactly 2 rows unconditionally.
+        if (
+            sig.dtype != np.float32
+            or sig.ndim != 2
+            or sig.shape[0] != 2
+            or not sig.flags["C_CONTIGUOUS"]
+        ):
             return None
     if responses is not None:
         if (
@@ -208,6 +253,10 @@ def make_trial_filler(
     behavior_ptr = _f32ptr(behavior)
     pupil_ptr = _f32ptr(pupil_center)
     bt, pt = behavior.shape[-1], pupil_center.shape[-1]
+    # Window frame indexes address every source's time axis; trial length
+    # is NaN-trimmed from ONE file (mouse_data.py), so a truncated sibling
+    # file would otherwise read past its mmap end silently.
+    time_limit = min(t, bt, pt) if responses is None else min(t, bt, pt, resp_t)
     fill_sample = lib.fill_sample
     c_float = ctypes.c_float
     # Closure keeps the source arrays (and their pointers) alive.
@@ -220,12 +269,44 @@ def make_trial_filler(
         # already produced one; anything else would be reinterpreted as
         # garbage window indexes and read out of bounds).
         indexes = np.ascontiguousarray(indexes, dtype=np.int64)
+        s = indexes.shape[0]
+        # The NumPy paths fail loudly on these (fancy-index IndexError /
+        # broadcast ValueError); the C kernel would corrupt memory — so
+        # the fast path must raise the same class of error, not skip.
+        if s == 0 or indexes.min() < 0 or indexes.max() >= time_limit:
+            raise IndexError(
+                f"window indexes out of range [0, {time_limit}) for trial "
+                f"sources (video t={t}, behavior t={bt}, pupil t={pt}, "
+                f"responses t={resp_t if responses is not None else 'n/a'})"
+            )
+        if (
+            input_out.dtype != np.float32
+            or not input_out.flags["C_CONTIGUOUS"]
+            or input_out.shape != (5, s, height, width)
+        ):
+            raise ValueError(
+                f"input_out must be C-contiguous float32 (5, {s}, {height}, "
+                f"{width}); got {input_out.dtype} {input_out.shape}"
+            )
+        if target_out is not None:
+            if (
+                responses is None
+                or target_out.dtype != np.float32
+                or not target_out.flags["C_CONTIGUOUS"]
+                or target_out.shape != (resp_rows, s)
+            ):
+                raise ValueError(
+                    f"target_out must be C-contiguous float32 "
+                    f"({resp_rows}, {s}) matching the responses file; got "
+                    f"{target_out.dtype} {target_out.shape} (a mismatch "
+                    "means responses rows disagree with meta neuron count)"
+                )
         fill_sample(
             video_ptr, h, w, t,
             behavior_ptr, bt,
             pupil_ptr, pt,
             resp_ptr, resp_rows, resp_t,
-            _i64ptr(indexes), indexes.shape[0],
+            _i64ptr(indexes), s,
             height, width, c_float(fill_value),
             _f32ptr(input_out),
             _f32ptr(target_out) if target_out is not None else None,
@@ -258,8 +339,10 @@ def assemble_stack_input(
     h, w, t = video.shape
     if video.strides != (w * t * 4, t * 4, 4):
         return None
-    if behavior.strides[-1] != 4 or pupil_center.strides[-1] != 4:
-        return None
+    # The C kernel reads exactly 2 rows of each signal.
+    for sig in (behavior, pupil_center):
+        if sig.ndim != 2 or sig.shape[0] != 2:
+            return None
 
     width, height = out_size
     if h > height or w > width:
@@ -268,9 +351,23 @@ def assemble_stack_input(
         return None
     indexes = np.ascontiguousarray(indexes, dtype=np.int64)
     s = indexes.shape[0]
+    time_limit = min(t, behavior.shape[-1], pupil_center.shape[-1])
+    if s == 0 or indexes.min() < 0 or indexes.max() >= time_limit:
+        # Out-of-range window: defer to the NumPy processor, whose fancy
+        # indexing raises a loud IndexError (the C kernel would read past
+        # the mmap end silently).
+        return None
+    if out is not None and (
+        out.dtype != np.float32
+        or not out.flags["C_CONTIGUOUS"]
+        or out.shape != (5, s, height, width)
+    ):
+        return None
     if out is None:
         out = np.empty((5, s, height, width), np.float32)
-    # Keep contiguous copies referenced for the duration of the C call.
+    # Keep contiguous copies referenced for the duration of the C call
+    # (ascontiguousarray also normalizes any exotic stride layout, so no
+    # stride guard is needed on the signals).
     behavior_c = np.ascontiguousarray(behavior)
     pupil_c = np.ascontiguousarray(pupil_center)
     lib.assemble_stack_input(

@@ -250,6 +250,11 @@ def test_resolve_workers_affinity_clamp_and_env_override(monkeypatch):
     assert resolve_workers(10_000) == max(1, usable)
     monkeypatch.setenv("SENSORIUM_LOADER_THREADS", "16")
     assert resolve_workers(16) == 16
+    # The env VALUE is the worker count, not a mere presence flag — it
+    # must override the configured count too (CLAUDE.md documents it as
+    # "loader worker count").
+    monkeypatch.setenv("SENSORIUM_LOADER_THREADS", "32")
+    assert resolve_workers(8) == 32
 
 
 class TestNativeFillKernels:
@@ -335,3 +340,65 @@ class TestNativeFillKernels:
         video = np.zeros((30, 30, 40), np.float32)
         sig = np.zeros((2, 40), np.float32)
         assert native.make_trial_filler(video, sig, sig, None, (24, 24)) is None
+
+    def test_make_trial_filler_rejects_wrong_signal_rows(self):
+        """The C kernel reads exactly 2 rows of behavior/pupil; other row
+        counts must route to the NumPy path (which fails loudly)."""
+        if not native.available():
+            pytest.skip("native library unavailable")
+        video = np.zeros((18, 24, 40), np.float32)
+        ok = np.zeros((2, 40), np.float32)
+        one_row = np.zeros((1, 40), np.float32)
+        assert native.make_trial_filler(video, one_row, ok, None, (24, 24)) is None
+        assert native.make_trial_filler(video, ok, one_row, None, (24, 24)) is None
+        assert (
+            native.assemble_stack_input(video, one_row, ok, np.arange(4), (24, 24))
+            is None
+        )
+
+    def test_fill_guards_fail_loudly(self):
+        """The fused fill path must raise (like the NumPy paths do) rather
+        than let the C kernel read or write out of bounds silently."""
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        video = rng.uniform(0, 255, (18, 24, 50)).astype(np.float32)
+        behavior = rng.uniform(0, 5, (2, 50)).astype(np.float32)
+        pupil = rng.uniform(50, 200, (2, 50)).astype(np.float32)
+        resp = rng.normal(size=(15, 50)).astype(np.float32)
+        filler = native.make_trial_filler(video, behavior, pupil, resp, (24, 24))
+        assert filler is not None
+        input_out = np.empty((5, 4, 24, 24), np.float32)
+        target_out = np.empty((15, 4), np.float32)
+
+        # Window index past the shortest source time axis.
+        with pytest.raises(IndexError, match="out of range"):
+            filler(np.array([0, 1, 2, 50]), 0.0, input_out, target_out)
+        # Negative index (the C kernel has no wraparound semantics).
+        with pytest.raises(IndexError, match="out of range"):
+            filler(np.array([-1, 0, 1, 2]), 0.0, input_out, target_out)
+        # Target rows disagreeing with the responses file (the
+        # truncated-download / meta-mismatch corruption case).
+        with pytest.raises(ValueError, match="target_out"):
+            filler(np.arange(4), 0.0, input_out, np.empty((14, 4), np.float32))
+        # Wrong input canvas.
+        with pytest.raises(ValueError, match="input_out"):
+            filler(np.arange(4), 0.0, np.empty((5, 4, 16, 16), np.float32), target_out)
+
+        # A shorter responses file tightens the shared index limit.
+        short_resp = rng.normal(size=(15, 30)).astype(np.float32)
+        short_filler = native.make_trial_filler(
+            video, behavior, pupil, short_resp, (24, 24)
+        )
+        assert short_filler is not None
+        with pytest.raises(IndexError, match="out of range"):
+            short_filler(np.array([0, 1, 2, 35]), 0.0, input_out, target_out)
+
+    def test_gather_oob_indexes_fall_back_loudly(self):
+        if not native.available():
+            pytest.skip("native library unavailable")
+        src = np.zeros((3, 10), np.float32)
+        with pytest.raises(IndexError):
+            native.gather_rows(src, np.array([0, 12]))
+        out = np.empty((3, 2), np.float32)
+        assert not native.gather_rows_relu_into(src, np.array([0, 12]), out)
