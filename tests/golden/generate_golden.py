@@ -207,6 +207,76 @@ def main_import_proof():
     print(f"Wrote {OUT_IMPORT} ({OUT_IMPORT.stat().st_size / 1e6:.2f} MB)")
 
 
+OUT_GRADS = Path(__file__).parent / "dwiseneuro_small_grads.npz"
+
+
+def main_gradients():
+    """Backward-pass golden: torch autograd gradients of the mice Poisson
+    loss through a train-mode forward (losses.py:5-21 + argus_models.py:43-57
+    semantics, iter_size=1, no AMP).
+
+    Pins the full backward chain — conv transposes, train-mode BN backward
+    (batch statistics), SE gating, softplus, padded-readout slice — which
+    the forward goldens cannot see.  Weights are the same seed-0
+    reference init as ``dwiseneuro_small.npz`` but stored again here so the
+    fixture is self-contained.
+    """
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    TorchDwiseNeuro = load_reference_module(
+        "ref_dwiseneuro", "src/models/dwiseneuro.py"
+    ).DwiseNeuro
+    init_weights = load_reference_module("ref_utils", "src/utils.py").init_weights
+    MicePoissonLoss = load_reference_module(
+        "ref_losses", "src/losses.py"
+    ).MicePoissonLoss
+
+    torch.manual_seed(0)
+    model = TorchDwiseNeuro(**SMALL_CFG)
+    init_weights(model)
+    model.train()
+
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(2, 5, 8, 16, 16)) * 2.0).astype(np.float32)
+    # Non-unit weights exercise the normalization; one nonzero mouse per
+    # sample matches the compact-batch layout the TPU loss consumes.
+    weights = np.array([[0.7, 0.0, 0.0], [0.0, 0.0, 1.3]], np.float32)
+    targets = [
+        rng.poisson(1.5, size=(2, n, 8)).astype(np.float32)
+        for n in SMALL_CFG["readout_outputs"]
+    ]
+    # Zero-weight (batch, mouse) cells never contribute; blank them so the
+    # fixture cannot accidentally pass through an unmasked-path bug.
+    for m, t in enumerate(targets):
+        t[weights[:, m] == 0.0] = 0.0
+
+    prediction = model(torch.from_numpy(x))
+    loss = MicePoissonLoss()(
+        prediction,
+        ([torch.from_numpy(t) for t in targets], torch.from_numpy(weights)),
+    )
+    loss.backward()
+
+    payload = {"input": x, "weights": weights, "loss": np.float32(loss.item())}
+    for m, t in enumerate(targets):
+        payload[f"target:{m}"] = t
+    payload.update(flatten_state_dict(model.state_dict(), "sd0"))
+    for name, param in model.named_parameters():
+        # A mouse with zero weight in every sample contributes no graph at
+        # all in torch (losses.py:18 skips the cell), so its readout grad is
+        # None — the TPU loss's weight-multiply gives exactly 0 there.
+        grad = (
+            param.grad.detach().cpu().numpy().astype(np.float32)
+            if param.grad is not None
+            else np.zeros(tuple(param.shape), np.float32)
+        )
+        payload[f"grad:{name}"] = grad
+
+    np.savez_compressed(OUT_GRADS, **payload)
+    print(f"Wrote {OUT_GRADS} ({OUT_GRADS.stat().st_size / 1e6:.2f} MB)")
+
+
 def main():
     import torch
 
@@ -251,5 +321,7 @@ if __name__ == "__main__":
         main_flagship()
     elif "--import-proof" in sys.argv:
         main_import_proof()
+    elif "--gradients" in sys.argv:
+        main_gradients()
     else:
         main()
