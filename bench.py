@@ -66,9 +66,13 @@ def _flagship_params() -> dict:
     nn_kwargs["remat"] = os.environ.get("SENSORIUM_REMAT", "1") != "0"
     if os.environ.get("SENSORIUM_REMAT_BLOCKS"):
         spec = os.environ["SENSORIUM_REMAT_BLOCKS"]
-        # "2" = first two blocks; "0,7,8" = exactly those block indexes.
+        # "2" = first two blocks; "0,7,8" = exactly those block indexes;
+        # a trailing comma ("1,") forces the index-set form for singletons
+        # (the shipped config is remat_blocks=(1,), not first-1).
         nn_kwargs["remat_blocks"] = (
-            tuple(int(v) for v in spec.split(",")) if "," in spec else int(spec)
+            tuple(int(v) for v in spec.split(",") if v.strip())
+            if "," in spec
+            else int(spec)
         )
     if os.environ.get("SENSORIUM_BENCH_NODROP"):
         nn_kwargs["drop_rate"] = 0.0
@@ -550,14 +554,20 @@ def measure_infer() -> dict:
     }
 
 
-def _init_backend_or_die(timeout_s: float = 300.0) -> None:
+def _init_backend_or_die(
+    timeout_s: float = 300.0,
+    metric: str = "train_clips_per_sec_per_chip_b32_fwd_bwd",
+    unit: str = "clips/s",
+) -> None:
     """Initialize the JAX backend under a watchdog.
 
     PJRT backend discovery can block indefinitely (not raise) when the
     device endpoint is unreachable; a hung bench is worse than a failed
     one for the driver, so after ``timeout_s`` the watchdog prints the
     one-line contract JSON with a null value and hard-exits nonzero.
-    Override via ``SENSORIUM_BENCH_INIT_TIMEOUT`` (seconds).
+    ``metric``/``unit`` name the invoked mode so a log-scraper keying on
+    the metric field sees the failed mode, not a phantom train headline.
+    Override the timeout via ``SENSORIUM_BENCH_INIT_TIMEOUT`` (seconds).
     """
     import threading
 
@@ -569,9 +579,9 @@ def _init_backend_or_die(timeout_s: float = 300.0) -> None:
         print(
             json.dumps(
                 {
-                    "metric": "train_clips_per_sec_per_chip_b32_fwd_bwd",
+                    "metric": metric,
                     "value": None,
-                    "unit": "clips/s",
+                    "unit": unit,
                     "vs_baseline": None,
                     "detail": {
                         "error": (
@@ -673,8 +683,18 @@ def main():
         # catch — emit the contract JSON line and exit nonzero instead of
         # hanging the driver (observed 2026-08-17: jax.devices() blocked
         # >10 min at ~0% CPU with the axon tunnel down).
+        if args.fit:
+            mode_metric, mode_unit = "fit_loop_clips_per_sec_b32", "clips/s"
+        elif args.distill:
+            mode_metric, mode_unit = "distill_train_clips_per_sec_b32_fwd_bwd", "clips/s"
+        elif args.infer:
+            mode_metric, mode_unit = "infer_window_forwards_per_sec", "windows/s"
+        else:
+            mode_metric, mode_unit = "train_clips_per_sec_per_chip_b32_fwd_bwd", "clips/s"
         _init_backend_or_die(
-            timeout_s=float(os.environ.get("SENSORIUM_BENCH_INIT_TIMEOUT", "300"))
+            timeout_s=float(os.environ.get("SENSORIUM_BENCH_INIT_TIMEOUT", "300")),
+            metric=mode_metric,
+            unit=mode_unit,
         )
 
     if args.fit:

@@ -39,8 +39,9 @@ def resolve_workers(num_threads: int) -> int:
         try:
             return max(1, int(override))
         except ValueError:
-            # Non-numeric value: treat as clamp-bypass only (old behavior).
-            return max(1, num_threads)
+            raise ValueError(
+                f"SENSORIUM_LOADER_THREADS must be an integer, got {override!r}"
+            ) from None
     try:
         usable = len(os.sched_getaffinity(0))
     except AttributeError:  # non-Linux

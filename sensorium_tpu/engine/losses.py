@@ -27,9 +27,32 @@ import jax
 import jax.numpy as jnp
 
 
-def poisson_nll(prediction: jax.Array, target: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Elementwise Poisson negative log-likelihood, ``log_input=False``."""
-    return prediction - target * jnp.log(prediction + eps)
+def poisson_nll(
+    prediction: jax.Array,
+    target: jax.Array,
+    eps: float = 1e-8,
+    log_input: bool = False,
+    full: bool = False,
+) -> jax.Array:
+    """Elementwise Poisson NLL matching ``torch.nn.PoissonNLLLoss`` semantics.
+
+    ``log_input=True`` treats the prediction as a log-rate
+    (``exp(pred) - target * pred``; eps unused, as in torch);
+    ``log_input=False`` as a rate (``pred - target * log(pred + eps)``).
+    ``full=True`` adds the Stirling approximation term only where
+    ``target > 1`` (torch masks it the same way).
+    """
+    if log_input:
+        elem = jnp.exp(prediction) - target * prediction
+    else:
+        elem = prediction - target * jnp.log(prediction + eps)
+    if full:
+        # Computed on a safe value so target <= 1 rows (incl. 0) cannot
+        # produce nan/inf that poison the where-select.
+        safe = jnp.where(target > 1.0, target, 2.0)
+        stirling = safe * jnp.log(safe) - safe + 0.5 * jnp.log(2.0 * jnp.pi * safe)
+        elem = elem + jnp.where(target > 1.0, stirling, 0.0)
+    return elem
 
 
 def mice_poisson_loss(
@@ -37,15 +60,25 @@ def mice_poisson_loss(
     target: jax.Array,  # (B, N_max, T) float32 — the sample's own mouse
     weights: jax.Array,  # (B, M) float32, nonzero only at the own mouse
     eps: float = 1e-8,
+    log_input: bool = False,
+    full: bool = False,
+    neuron_mask: jax.Array | None = None,  # (M, N_max), 1 at real neurons
 ) -> jax.Array:
     """Weighted multi-mouse Poisson NLL (reference: losses.py:5-21).
 
     Each (batch, mouse) cell's elementwise loss sum is scaled by the
     normalized weight; zero-weight cells contribute nothing (their gradient
     is exactly zero because the weight multiplies the loss).
+
+    For ``log_input=False`` padded rows (prediction == target == 0)
+    contribute exactly 0 with no mask; ``log_input=True`` makes a padded
+    element worth ``exp(0) = 1``, so that path requires ``neuron_mask``
+    (``get_loss`` threads it from the model's readout_outputs).
     """
     weights = weights / jnp.sum(weights)
-    elem = poisson_nll(prediction, target[None], eps)  # (M, B, N, T)
+    elem = poisson_nll(prediction, target[None], eps, log_input, full)  # (M, B, N, T)
+    if neuron_mask is not None:
+        elem = elem * neuron_mask[:, None, :, None]
     per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
     return jnp.sum(per_cell * weights.T)
 
@@ -131,28 +164,45 @@ _LOSSES = {
 }
 
 # Which optional config kwargs each loss accepts (name -> cast).
+_POISSON_KWARGS = {"eps": float, "log_input": bool, "full": bool}
 _LOSS_KWARGS = {
-    "mice_poisson": {"eps": float},
-    "PoissonNLLLoss": {"eps": float},
+    "mice_poisson": _POISSON_KWARGS,
+    "PoissonNLLLoss": _POISSON_KWARGS,
     "SmoothL1Loss": {"beta": float},
     "HuberLoss": {"delta": float},
 }
 
 
-def get_loss(name: str, loss_params: dict):
-    """Registry keyed by the config names of the reference (losses.py:5)."""
+def get_loss(name: str, loss_params: dict, neuron_mask=None):
+    """Registry keyed by the config names of the reference (losses.py:5).
+
+    ``neuron_mask`` is the model's (M, N_max) real-neuron mask; the engine
+    threads it so the ``log_input=True`` Poisson form stays exact under
+    the padded batch layout (see ``mice_poisson_loss``).
+
+    Default semantics match what each name means in the reference:
+    ``mice_poisson`` is ``MicePoissonLoss`` whose ``log_input`` defaults to
+    False (losses.py:6), while the stock ``PoissonNLLLoss`` name is
+    ``torch.nn.PoissonNLLLoss`` whose ``log_input`` defaults to True.
+    """
     if name not in _LOSSES:
         raise KeyError(f"Unknown loss '{name}'")
     base = _LOSSES[name]
-    if loss_params.get("log_input", False):
-        raise NotImplementedError("log_input=True is not used by any reference config")
-    if loss_params.get("full", False):
-        raise NotImplementedError("full=True is not used by any reference config")
     kwargs = {
         key: cast(loss_params[key])
         for key, cast in _LOSS_KWARGS.get(name, {}).items()
         if key in loss_params
     }
+    if name in ("mice_poisson", "PoissonNLLLoss"):
+        kwargs.setdefault("log_input", name == "PoissonNLLLoss")
+        if kwargs["log_input"]:
+            if neuron_mask is None:
+                raise ValueError(
+                    "log_input=True requires the model's neuron mask: padded "
+                    "readout rows would each contribute exp(0) = 1 otherwise "
+                    "(get_loss(neuron_mask=...), built from readout_outputs)"
+                )
+            kwargs["neuron_mask"] = jnp.asarray(neuron_mask, jnp.float32)
     eps = float(loss_params.get("eps", 1e-8))
 
     def loss_fn(prediction, target, weights):

@@ -50,7 +50,15 @@ class MouseModel:
         nn_name, nn_params = params["nn_module"]
         self.nn_module = get_nn_module(nn_name, nn_params)
         loss_name, loss_params = params.get("loss", ("mice_poisson", {}))
-        self.loss_fn = get_loss(loss_name, loss_params)
+        # (M, N_max) real-neuron mask so log_input=True Poisson forms stay
+        # exact under the padded batch layout (see losses.get_loss).
+        outputs = getattr(self.nn_module, "readout_outputs", None)
+        neuron_mask = None
+        if outputs is not None:
+            neuron_mask = np.zeros((len(outputs), max(outputs)), np.float32)
+            for m, n in enumerate(outputs):
+                neuron_mask[m, :n] = 1.0
+        self.loss_fn = get_loss(loss_name, loss_params, neuron_mask=neuron_mask)
         self.optimizer_spec = params.get("optimizer", ("AdamW", {"lr": 1e-3}))
         self.iter_size = int(params.get("iter_size", 1))
         self.mesh = mesh
