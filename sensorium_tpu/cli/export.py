@@ -1,0 +1,69 @@
+"""Serving-export CLI — ``python -m sensorium_tpu.cli.export -m CKPT``.
+
+TPU-native capability beyond the reference (which serves its published
+weights by rebuilding the torch module in Python,
+``/root/reference/src/predictors.py:23-55``): lowers a trained
+checkpoint's eval forward ahead of time and writes a versioned StableHLO
+artifact loadable from any JAX process — see ``infer/export.py``.
+
+Typical flows::
+
+    # all-mice forward, lowered for TPU and CPU, written next to the ckpt
+    python -m sensorium_tpu.cli.export -m data/experiments/E/fold_0/model-017-0.29.ckpt
+
+    # one mouse's head, custom path, smoke-run on this host's backend
+    python -m sensorium_tpu.cli.export -m CKPT --mouse 1 -o /srv/model.stablehlo --check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", required=True, help="checkpoint (.ckpt) path")
+    parser.add_argument("-o", "--out", default=None, help="artifact output path")
+    parser.add_argument(
+        "--mouse", default=None,
+        help="mouse index for a single-head export (default: all-mice forward)",
+    )
+    parser.add_argument(
+        "--platforms", default="tpu,cpu",
+        help="comma-separated lowering targets (default: tpu,cpu)",
+    )
+    parser.add_argument(
+        "--check", action="store_true",
+        help="after writing, load the artifact and run a zeros batch on "
+             "this host's backend",
+    )
+    return parser.parse_args()
+
+
+def main():
+    from sensorium_tpu.infer.export import check_artifact, export_model_file
+    from sensorium_tpu.utils.cache import enable_compilation_cache
+
+    args = parse_arguments()
+    mouse_index = None
+    if args.mouse is not None:
+        try:
+            mouse_index = int(args.mouse)
+        except ValueError:
+            raise SystemExit(f"--mouse expects an integer index, got {args.mouse!r}")
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    if not platforms:
+        raise SystemExit("--platforms expects at least one target")
+
+    enable_compilation_cache()
+    summary = export_model_file(
+        args.model, out_path=args.out, mouse_index=mouse_index, platforms=platforms
+    )
+    if args.check:
+        summary["check"] = check_artifact(summary["artifact"])
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
