@@ -13,6 +13,10 @@ Typical flows::
 
     # one mouse's head, custom path, smoke-run on this host's backend
     python -m sensorium_tpu.cli.export -m CKPT --mouse 1 -o /srv/model.stablehlo --check
+
+    # the ENTIRE sliding-window trial program (symbolic trial length):
+    # on-device input assembly + window gather + chunked forwards + blend
+    python -m sensorium_tpu.cli.export -m CKPT --mouse 1 --trial --check
 """
 
 from __future__ import annotations
@@ -38,6 +42,29 @@ def parse_arguments():
         help="after writing, load the artifact and run a zeros batch on "
              "this host's backend",
     )
+    parser.add_argument(
+        "--trial", action="store_true",
+        help="export the whole-trial sliding-window program (requires "
+             "--mouse) instead of the window forward",
+    )
+    parser.add_argument(
+        "--src-hw", default="36,64",
+        help="raw video frame size H,W baked into a --trial artifact "
+             "(default: the competition's 36,64)",
+    )
+    parser.add_argument(
+        "--chunk", type=int, default=32,
+        help="--trial window-forward chunk size (default 32)",
+    )
+    parser.add_argument(
+        "--bucket", type=int, default=64,
+        help="--trial time-axis bucket; the artifact accepts any multiple "
+             "(default 64; must be a multiple of --chunk)",
+    )
+    parser.add_argument(
+        "--blend", default="ones", choices=("ones", "linear"),
+        help="--trial overlap blend weights (default ones)",
+    )
     return parser.parse_args()
 
 
@@ -55,10 +82,26 @@ def main():
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     if not platforms:
         raise SystemExit("--platforms expects at least one target")
+    if args.trial and mouse_index is None:
+        raise SystemExit("--trial exports one mouse's head: pass --mouse I")
+    try:
+        src_hw = tuple(int(v) for v in args.src_hw.split(","))
+        if len(src_hw) != 2:
+            raise ValueError
+    except ValueError:
+        raise SystemExit(f"--src-hw expects H,W integers, got {args.src_hw!r}")
 
     enable_compilation_cache()
     summary = export_model_file(
-        args.model, out_path=args.out, mouse_index=mouse_index, platforms=platforms
+        args.model,
+        out_path=args.out,
+        mouse_index=mouse_index,
+        platforms=platforms,
+        trial=args.trial,
+        src_hw=src_hw,
+        chunk_size=args.chunk,
+        length_bucket=args.bucket,
+        blend_weights=args.blend,
     )
     if args.check:
         summary["check"] = check_artifact(summary["artifact"])

@@ -79,6 +79,91 @@ def export_forward(
     return exported.serialize()
 
 
+def export_trial(
+    predictor,
+    mouse_index: int,
+    src_hw: tuple[int, int] = (36, 64),
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> bytes:
+    """Serialize whole-trial sliding-window inference to StableHLO.
+
+    Where :func:`export_forward` exports one 16-frame window forward, this
+    exports the predictor's ENTIRE trial program — on-device 5-channel
+    assembly, stride-1 window gather, chunked ``lax.scan`` forwards, and
+    the overlap-blend scatter (reference semantics:
+    ``/root/reference/src/predictors.py:36-55``) — as one artifact with a
+    *symbolic* time axis.  The artifact signature is::
+
+        (video (Tp, sh, sw) f32, behavior (2, Tp) f32,
+         pupil_center (2, Tp) f32, length () i32) -> (N, Tp) f32
+
+    where ``Tp = length_bucket * k`` is any multiple of the predictor's
+    length bucket ≥ the true trial ``length`` (callers zero-pad the time
+    axis and slice the result to ``[:, :length]``).  Windows/blend masks
+    are derived *inside* the program from ``length``, so serving needs no
+    model code and no host-side window logic.  ``src_hw`` fixes the raw
+    video frame size (competition geometry 36x64); frames are centered on
+    the model canvas exactly like ``StackInputsProcessor``.
+    """
+    from sensorium_tpu.infer.predictor import assemble_trial_stack
+
+    model = predictor.model
+    nn = model.nn_module
+    gen = predictor.indexes_generator
+    chunk = predictor.chunk_size
+    bucket = predictor.length_bucket
+    if bucket % chunk:
+        raise ValueError(
+            f"length_bucket {bucket} must be a multiple of chunk_size "
+            f"{chunk} for a symbolic-length export"
+        )
+    proc = predictor.inputs_processor
+    width, height = proc.size
+    fill = proc.pad_fill_value
+    src_h, src_w = src_hw
+    if src_h > height or src_w > width:
+        raise ValueError(
+            f"src_hw {src_hw} exceeds the model canvas ({height}x{width})"
+        )
+    params, batch_stats = jax.device_get(
+        (model.state.eval_params, model.state.eval_batch_stats)
+    )
+
+    def run(video, behavior, pupil_center, length):
+        padded_len = video.shape[0]
+        trial_inputs = assemble_trial_stack(
+            video, behavior, pupil_center, height, width, fill
+        )
+        # One anchor per padded frame; rows past the true anchor range
+        # carry zero weight (same blend math as Predictor.predict_trial,
+        # which pads with repeated windows instead — both contribute 0).
+        anchors = gen.behind + jnp.arange(padded_len, dtype=jnp.int32)
+        valid = (anchors < length - gen.ahead).astype(jnp.float32)
+        offsets = jnp.arange(
+            -gen.behind, gen.ahead + 1, gen.step, dtype=jnp.int32
+        )
+        windows = jnp.clip(anchors[:, None] + offsets[None, :], 0, padded_len - 1)
+        return predictor._scan_windows(
+            trial_inputs,
+            params,
+            batch_stats,
+            windows.reshape(-1, chunk, gen.size),
+            valid.reshape(-1, chunk),
+            mouse_index,
+        )
+
+    (k,) = jax_export.symbolic_shape("k")
+    padded = bucket * k
+    specs = (
+        jax.ShapeDtypeStruct((padded, src_h, src_w), jnp.float32),
+        jax.ShapeDtypeStruct((2, padded), jnp.float32),
+        jax.ShapeDtypeStruct((2, padded), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    exported = jax_export.export(jax.jit(run), platforms=tuple(platforms))(*specs)
+    return exported.serialize()
+
+
 def save_exported(path: Path | str, data: bytes) -> Path:
     """Atomic write of a serialized artifact."""
     path = Path(path)
@@ -102,16 +187,42 @@ def export_model_file(
     out_path: Path | str | None = None,
     mouse_index: int | None = None,
     platforms: tuple[str, ...] = ("tpu", "cpu"),
+    trial: bool = False,
+    src_hw: tuple[int, int] = (36, 64),
+    chunk_size: int = 32,
+    length_bucket: int = 64,
+    blend_weights: str = "ones",
 ) -> dict:
-    """Checkpoint file -> serving artifact file.  Returns a summary dict."""
+    """Checkpoint file -> serving artifact file.  Returns a summary dict.
+
+    ``trial=False`` exports the window forward (:func:`export_forward`);
+    ``trial=True`` exports the whole-trial sliding-window program
+    (:func:`export_trial`, requires ``mouse_index``).
+    """
     from sensorium_tpu.engine.model import load_model
 
     model_path = Path(model_path)
-    model = load_model(model_path)
-    data = export_forward(model, mouse_index=mouse_index, platforms=platforms)
+    if trial:
+        if mouse_index is None:
+            raise ValueError("trial export requires a mouse_index")
+        from sensorium_tpu.infer.predictor import Predictor
+
+        predictor = Predictor(
+            model_path,
+            blend_weights=blend_weights,
+            chunk_size=chunk_size,
+            length_bucket=length_bucket,
+        )
+        data = export_trial(
+            predictor, mouse_index, src_hw=src_hw, platforms=platforms
+        )
+        kind = f".mouse{mouse_index}.trial"
+    else:
+        model = load_model(model_path)
+        data = export_forward(model, mouse_index=mouse_index, platforms=platforms)
+        kind = "" if mouse_index is None else f".mouse{mouse_index}"
     if out_path is None:
-        suffix = "" if mouse_index is None else f".mouse{mouse_index}"
-        out_path = model_path.with_suffix(suffix + EXPORT_SUFFIX)
+        out_path = model_path.with_suffix(kind + EXPORT_SUFFIX)
     save_exported(out_path, data)
     exported = jax_export.deserialize(data)
     return {
@@ -119,26 +230,52 @@ def export_model_file(
         "bytes": len(data),
         "platforms": list(exported.platforms),
         "mouse_index": mouse_index,
-        "input_shape": [str(d) for d in exported.in_avals[0].shape],
+        "trial": trial,
+        "input_shapes": [[str(d) for d in a.shape] for a in exported.in_avals],
         "output_shape": [str(d) for d in exported.out_avals[0].shape],
     }
+
+
+def _resolve_dim(dim, value: int) -> int:
+    """Concretize one aval dimension: digits stay, every symbolic variable
+    in a dim expression (``b``, ``64*k``, ...) is substituted with
+    ``value``."""
+    import re
+
+    text = str(dim)
+    if text.isdigit():
+        return int(text)
+    if not re.fullmatch(r"[\w\s()*+-]+", text):
+        raise ValueError(f"unsupported symbolic dim {text!r}")
+    names = {name: value for name in re.findall(r"[A-Za-z_]\w*", text)}
+    return int(eval(text, {"__builtins__": {}}, names))  # noqa: S307
 
 
 def check_artifact(path: Path | str, batch: int = 1) -> dict:
     """Smoke-run an artifact on the current backend with a zeros batch.
 
-    Returns output stats; raises if the backend is not in the artifact's
-    platform list or shapes fail to resolve.
+    Handles both artifact layouts this module produces: the window
+    forward (one array input, symbolic batch -> ``batch``) and the trial
+    program (three arrays + a scalar length, symbolic time -> ``batch``
+    buckets; the length is set to the padded time axis).  Returns output
+    stats; raises if the backend is not in the artifact's platform list
+    or shapes fail to resolve.
     """
     exported = load_exported(path)
-    # Symbolic dims (the batch) print as names; concrete dims as digits.
-    shape = tuple(
-        int(d) if str(d).isdigit() else batch for d in exported.in_avals[0].shape
-    )
-    out = exported.call(np.zeros(shape, np.float32))
-    out = np.asarray(out)
+    args = []
+    lead_dim = None
+    for aval in exported.in_avals:
+        shape = tuple(_resolve_dim(d, batch) for d in aval.shape)
+        if shape == () and np.issubdtype(aval.dtype, np.integer):
+            # The trial artifact's true-length scalar: use the padded length.
+            args.append(np.asarray(lead_dim if lead_dim else batch, aval.dtype))
+            continue
+        if lead_dim is None and shape:
+            lead_dim = shape[0]
+        args.append(np.zeros(shape, aval.dtype))
+    out = np.asarray(exported.call(*args))
     return {
-        "input_shape": list(shape),
+        "input_shape": list(np.shape(args[0])),
         "output_shape": list(out.shape),
         "finite": bool(np.isfinite(out).all()),
         "min": float(out.min()),

@@ -51,6 +51,31 @@ def _round_up(value: int, multiple: int) -> int:
     return (value + multiple - 1) // multiple * multiple
 
 
+def assemble_trial_stack(video, behavior, pupil_center, height, width, fill):
+    """Device-side 5-channel input assembly from compact trial arrays.
+
+    ``video``: (Tp, sh, sw); ``behavior``/``pupil_center``: (2, Tp) →
+    (5, Tp, H, W).  Same semantics as the host ``StackInputsProcessor``
+    (reference ``src/inputs.py:26-33``): the video is centered on the
+    canvas, the four scalar signals broadcast to full planes.  Shared by
+    the jitted trial predictor and the AOT trial export
+    (``infer/export.py``).
+    """
+    padded_len, src_h, src_w = video.shape
+    h0 = (height - src_h) // 2
+    w0 = (width - src_w) // 2
+    ch0 = jnp.pad(
+        video,
+        ((0, 0), (h0, height - src_h - h0), (w0, width - src_w - w0)),
+        constant_values=fill,
+    )[None]  # (1, Tp, H, W)
+    planes = jnp.concatenate([behavior, pupil_center], axis=0)
+    return jnp.concatenate(
+        [ch0, jnp.broadcast_to(planes[:, :, None, None], (4, padded_len, height, width))],
+        axis=0,
+    )
+
+
 class Predictor:
     """Load a checkpoint and predict whole trials with window blending."""
 
@@ -150,18 +175,8 @@ class Predictor:
             @functools.partial(jax.jit, **self._jit_kwargs(num_trial_args=3))
             def run(params, batch_stats, video, behavior, pupil_center, windows, valid):
                 # video: (Tp, sh, sw); behavior / pupil_center: (2, Tp).
-                padded_len, src_h, src_w = video.shape
-                h0 = (height - src_h) // 2
-                w0 = (width - src_w) // 2
-                ch0 = jnp.pad(
-                    video,
-                    ((0, 0), (h0, height - src_h - h0), (w0, width - src_w - w0)),
-                    constant_values=fill,
-                )[None]  # (1, Tp, H, W)
-                planes = jnp.concatenate([behavior, pupil_center], axis=0)
-                trial_inputs = jnp.concatenate(
-                    [ch0, jnp.broadcast_to(planes[:, :, None, None], (4, padded_len, height, width))],
-                    axis=0,
+                trial_inputs = assemble_trial_stack(
+                    video, behavior, pupil_center, height, width, fill
                 )
                 return self._scan_windows(
                     trial_inputs, params, batch_stats, windows, valid, mouse_index

@@ -15,9 +15,11 @@ from sensorium_tpu.infer.export import (
     check_artifact,
     export_forward,
     export_model_file,
+    export_trial,
     load_exported,
     save_exported,
 )
+from sensorium_tpu.infer.predictor import Predictor
 
 from tests.test_engine import tiny_params
 
@@ -123,3 +125,102 @@ class TestExportModelFile:
         )
         with pytest.raises(SystemExit, match="integer"):
             export_cli.main()
+
+
+def _trial_arrays(length, src_hw=(12, 16), seed=0):
+    rng = np.random.default_rng(seed)
+    video = rng.uniform(0, 255, (*src_hw, length)).astype(np.float32)
+    behavior = rng.uniform(0, 10, (2, length)).astype(np.float32)
+    pupil_center = rng.uniform(0, 10, (2, length)).astype(np.float32)
+    return video, behavior, pupil_center
+
+
+class TestExportTrial:
+    """Whole-trial artifact (symbolic time axis) vs the live Predictor."""
+
+    CHUNK, BUCKET = 8, 16
+
+    @pytest.fixture(scope="class")
+    def predictor(self, ckpt_path):
+        return Predictor(
+            ckpt_path, chunk_size=self.CHUNK, length_bucket=self.BUCKET
+        )
+
+    @pytest.fixture(scope="class")
+    def artifact(self, predictor, tmp_path_factory):
+        data = export_trial(
+            predictor, mouse_index=1, src_hw=(12, 16), platforms=("cpu",)
+        )
+        path = tmp_path_factory.mktemp("trial") / "m1.trial.stablehlo"
+        return load_exported(save_exported(path, data))
+
+    def _call(self, artifact, video, behavior, pupil_center, length):
+        padded = -(-length // self.BUCKET) * self.BUCKET
+        tpad = padded - length
+        planes = np.ascontiguousarray(np.transpose(video, (2, 0, 1)))
+        out = np.asarray(
+            artifact.call(
+                np.pad(planes, ((0, tpad), (0, 0), (0, 0))),
+                np.pad(behavior, ((0, 0), (0, tpad))),
+                np.pad(pupil_center, ((0, 0), (0, tpad))),
+                np.int32(length),
+            )
+        )
+        return out[:, :length]
+
+    @pytest.mark.parametrize("length", [37, 48, 61])
+    def test_matches_live_predictor_across_buckets(
+        self, predictor, artifact, length
+    ):
+        video, behavior, pupil_center = _trial_arrays(length, seed=length)
+        want = predictor.predict_trial(video, behavior, pupil_center, 1)
+        got = self._call(artifact, video, behavior, pupil_center, length)
+        assert got.shape == want.shape
+        # fp32 reduction-order noise only (different XLA schedules).
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-4)
+
+    def test_short_trial_is_zeros(self, predictor, artifact):
+        # Shorter than one window: zero valid anchors; the reference loop
+        # runs zero iterations and the clipped blend denominator yields 0s.
+        width = predictor.indexes_generator.width
+        video, behavior, pupil_center = _trial_arrays(width - 2)
+        got = self._call(artifact, video, behavior, pupil_center, width - 2)
+        np.testing.assert_array_equal(got, 0.0)
+
+    def test_cli_trial_flow(self, ckpt_path, tmp_path, monkeypatch, capsys):
+        from sensorium_tpu.cli import export as export_cli
+
+        out = tmp_path / "trial.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            [
+                "export", "-m", str(ckpt_path), "-o", str(out),
+                "--mouse", "1", "--trial", "--src-hw", "12,16",
+                "--chunk", str(self.CHUNK), "--bucket", str(self.BUCKET),
+                "--platforms", "cpu", "--check",
+            ],
+        )
+        export_cli.main()
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["trial"] is True
+        assert out.exists()
+        assert summary["check"]["finite"]
+        # length scalar = padded time axis -> real predictions, not zeros.
+        assert summary["check"]["output_shape"] == [7, self.BUCKET]
+
+    def test_cli_trial_requires_mouse(self, ckpt_path, monkeypatch):
+        from sensorium_tpu.cli import export as export_cli
+
+        monkeypatch.setattr(
+            "sys.argv", ["export", "-m", str(ckpt_path), "--trial"]
+        )
+        with pytest.raises(SystemExit, match="--mouse"):
+            export_cli.main()
+
+    def test_bucket_chunk_divisibility_enforced(self, ckpt_path):
+        with pytest.raises(ValueError, match="multiple of chunk_size"):
+            export_trial(
+                Predictor(ckpt_path, chunk_size=6, length_bucket=16),
+                mouse_index=0,
+                platforms=("cpu",),
+            )
