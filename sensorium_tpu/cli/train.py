@@ -161,13 +161,22 @@ def chip_pinning_env(slot: int) -> dict[str, str]:
 
     The standard 'multiple JAX processes on one TPU host' recipe: shrink
     the process topology to a single chip and make only that chip visible.
-    (Variable names cover the libtpu generations in circulation.)
+    Variable names cover the libtpu generations in circulation, including
+    the older ones that additionally require an explicit single-process
+    address table (``TPU_PROCESS_ADDRESSES``/``TPU_PROCESS_PORT``; each
+    slot gets a distinct port so concurrent children never collide) and
+    the ``TPU_CHIPS_PER_HOST_BOUNDS`` alias.
     """
+    port = 8476 + slot
     return {
         "TPU_PROCESS_BOUNDS": "1,1,1",
         "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+        "TPU_CHIPS_PER_HOST_BOUNDS": "1,1,1",
         "TPU_VISIBLE_DEVICES": str(slot),
         "TPU_VISIBLE_CHIPS": str(slot),
+        "TPU_PROCESS_ADDRESSES": f"localhost:{port}",
+        "TPU_PROCESS_PORT": str(port),
+        "CLOUD_TPU_TASK_ID": "0",
     }
 
 

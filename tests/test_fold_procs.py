@@ -127,6 +127,13 @@ def test_chip_pinning_env():
     assert env["TPU_VISIBLE_CHIPS"] == "3"
     assert env["TPU_PROCESS_BOUNDS"] == "1,1,1"
     assert env["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1"
+    assert env["TPU_CHIPS_PER_HOST_BOUNDS"] == "1,1,1"
+    # Older libtpu generations need an explicit single-process address
+    # table; ports are slot-distinct so concurrent children never collide.
+    assert env["TPU_PROCESS_ADDRESSES"] == "localhost:8479"
+    assert env["TPU_PROCESS_PORT"] == "8479"
+    assert env["CLOUD_TPU_TASK_ID"] == "0"
+    assert chip_pinning_env(0)["TPU_PROCESS_PORT"] != env["TPU_PROCESS_PORT"]
 
 
 @pytest.mark.baseline
