@@ -84,6 +84,14 @@ def main():
         raise SystemExit("--platforms expects at least one target")
     if args.trial and mouse_index is None:
         raise SystemExit("--trial exports one mouse's head: pass --mouse I")
+    if args.chunk < 1 or args.bucket < 1:
+        raise SystemExit(
+            f"--chunk ({args.chunk}) and --bucket ({args.bucket}) must be positive"
+        )
+    if args.bucket % args.chunk:
+        raise SystemExit(
+            f"--bucket ({args.bucket}) must be a multiple of --chunk ({args.chunk})"
+        )
     try:
         src_hw = tuple(int(v) for v in args.src_hw.split(","))
         if len(src_hw) != 2:

@@ -40,14 +40,15 @@ def export_forward(
     height: int | None = None,
     width: int | None = None,
     platforms: tuple[str, ...] = ("tpu", "cpu"),
-) -> bytes:
-    """Serialize the eval-mode forward of a ``MouseModel`` to StableHLO.
+) -> jax_export.Exported:
+    """Lower the eval-mode forward of a ``MouseModel`` to StableHLO.
 
     ``mouse_index=None`` exports the all-mice forward
     ``(b, C, T, H, W) -> (M, b, N_max, T)``; an int exports that mouse's
     head ``(b, C, T, H, W) -> (b, N_m, T)``.  The batch dim ``b`` is
     symbolic.  ``frames``/``height``/``width`` default to the model
-    config's frame-stack size and input-processor canvas.
+    config's frame-stack size and input-processor canvas.  Returns the
+    ``Exported`` object; ``save_exported`` serializes it.
     """
     nn = model.nn_module
     # Bake host copies of the eval (EMA) weights into the program.
@@ -62,9 +63,10 @@ def export_forward(
         frames = int(model.params["frame_stack"]["size"])
     if height is None or width is None:
         proc_kwargs = model.params["inputs_processor"][1]
-        size = proc_kwargs["size"]
-        height = height if height is not None else int(size[0])
-        width = width if width is not None else int(size[1])
+        # StackInputsProcessor's size is (width, height) — inputs.py:33.
+        canvas_w, canvas_h = proc_kwargs["size"]
+        height = height if height is not None else int(canvas_h)
+        width = width if width is not None else int(canvas_w)
 
     def forward(inputs):
         return nn.apply(
@@ -75,8 +77,7 @@ def export_forward(
     spec = jax.ShapeDtypeStruct(
         (batch, nn.in_channels, frames, height, width), jnp.float32
     )
-    exported = jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
-    return exported.serialize()
+    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
 
 
 def export_trial(
@@ -84,8 +85,8 @@ def export_trial(
     mouse_index: int,
     src_hw: tuple[int, int] = (36, 64),
     platforms: tuple[str, ...] = ("tpu", "cpu"),
-) -> bytes:
-    """Serialize whole-trial sliding-window inference to StableHLO.
+) -> jax_export.Exported:
+    """Lower whole-trial sliding-window inference to StableHLO.
 
     Where :func:`export_forward` exports one 16-frame window forward, this
     exports the predictor's ENTIRE trial program — on-device 5-channel
@@ -112,6 +113,10 @@ def export_trial(
     gen = predictor.indexes_generator
     chunk = predictor.chunk_size
     bucket = predictor.length_bucket
+    if chunk < 1 or bucket < 1:
+        raise ValueError(
+            f"chunk_size ({chunk}) and length_bucket ({bucket}) must be positive"
+        )
     if bucket % chunk:
         raise ValueError(
             f"length_bucket {bucket} must be a multiple of chunk_size "
@@ -160,12 +165,13 @@ def export_trial(
         jax.ShapeDtypeStruct((2, padded), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    exported = jax_export.export(jax.jit(run), platforms=tuple(platforms))(*specs)
-    return exported.serialize()
+    return jax_export.export(jax.jit(run), platforms=tuple(platforms))(*specs)
 
 
-def save_exported(path: Path | str, data: bytes) -> Path:
-    """Atomic write of a serialized artifact."""
+def save_exported(path: Path | str, data) -> Path:
+    """Atomic write of an artifact (``Exported`` or already-serialized bytes)."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = data.serialize()
     path = Path(path)
     tmp = path.with_name(path.name + ".tmp")
     tmp.write_bytes(data)
@@ -213,18 +219,20 @@ def export_model_file(
             chunk_size=chunk_size,
             length_bucket=length_bucket,
         )
-        data = export_trial(
+        exported = export_trial(
             predictor, mouse_index, src_hw=src_hw, platforms=platforms
         )
         kind = f".mouse{mouse_index}.trial"
     else:
         model = load_model(model_path)
-        data = export_forward(model, mouse_index=mouse_index, platforms=platforms)
+        exported = export_forward(
+            model, mouse_index=mouse_index, platforms=platforms
+        )
         kind = "" if mouse_index is None else f".mouse{mouse_index}"
     if out_path is None:
         out_path = model_path.with_suffix(kind + EXPORT_SUFFIX)
+    data = exported.serialize()
     save_exported(out_path, data)
-    exported = jax_export.deserialize(data)
     return {
         "artifact": str(out_path),
         "bytes": len(data),
@@ -245,7 +253,7 @@ def _resolve_dim(dim, value: int) -> int:
     text = str(dim)
     if text.isdigit():
         return int(text)
-    if not re.fullmatch(r"[\w\s()*+-]+", text):
+    if len(text) > 64 or "**" in text or not re.fullmatch(r"[\w\s()*+-]+", text):
         raise ValueError(f"unsupported symbolic dim {text!r}")
     names = {name: value for name in re.findall(r"[A-Za-z_]\w*", text)}
     return int(eval(text, {"__builtins__": {}}, names))  # noqa: S307

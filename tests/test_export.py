@@ -64,6 +64,34 @@ class TestExportForward:
             assert out.shape == (batch, 5, 4)
             assert np.isfinite(out).all()
 
+    def test_non_square_canvas_spec_matches_live_model(self, tmp_path):
+        # StackInputsProcessor.size is (width, height) — the exported spec
+        # must be (b, C, T, H, W) like the live model, not transposed.
+        params = tiny_params()
+        params["inputs_processor"] = (
+            "stack_inputs", {"size": (12, 16), "pad_fill_value": 0.0}
+        )
+        m = MouseModel(params)
+        m.set_ema(0.9)
+        m.build_state(seed=0, learning_rate=1e-3)
+
+        exported = load_exported(
+            save_exported(
+                tmp_path / "ns.stablehlo",
+                export_forward(m, mouse_index=1, platforms=("cpu",)),
+            )
+        )
+        assert [str(d) for d in exported.in_avals[0].shape] == \
+            ["b", "5", "4", "16", "12"]
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 255, (2, 5, 4, 16, 12)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(exported.call(x)),
+            np.asarray(m.predict(x, mouse_index=1)),
+            rtol=2e-5,
+            atol=1e-6,
+        )
+
     def test_all_mice_artifact(self, model, tmp_path):
         data = export_forward(model, platforms=("cpu",))
         exported = load_exported(save_exported(tmp_path / "all.stablehlo", data))
@@ -215,6 +243,26 @@ class TestExportTrial:
             "sys.argv", ["export", "-m", str(ckpt_path), "--trial"]
         )
         with pytest.raises(SystemExit, match="--mouse"):
+            export_cli.main()
+
+    @pytest.mark.parametrize(
+        "flags, match",
+        [
+            (["--chunk", "0"], "positive"),
+            (["--bucket", "-16"], "positive"),
+            (["--bucket", "60", "--chunk", "32"], "multiple"),
+        ],
+    )
+    def test_cli_rejects_bad_chunk_bucket(
+        self, ckpt_path, monkeypatch, flags, match
+    ):
+        from sensorium_tpu.cli import export as export_cli
+
+        monkeypatch.setattr(
+            "sys.argv",
+            ["export", "-m", str(ckpt_path), "--trial", "--mouse", "0", *flags],
+        )
+        with pytest.raises(SystemExit, match=match):
             export_cli.main()
 
     def test_bucket_chunk_divisibility_enforced(self, ckpt_path):
