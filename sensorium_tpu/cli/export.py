@@ -65,6 +65,12 @@ def parse_arguments():
         "--blend", default="ones", choices=("ones", "linear"),
         help="--trial overlap blend weights (default ones)",
     )
+    parser.add_argument(
+        "--mesh-data", type=int, default=0,
+        help="export a multi-device --trial artifact: window chunks shard "
+             "over an N-way data mesh (requires N local devices here and "
+             "at serving time)",
+    )
     return parser.parse_args()
 
 
@@ -92,6 +98,13 @@ def main():
         raise SystemExit(
             f"--bucket ({args.bucket}) must be a multiple of --chunk ({args.chunk})"
         )
+    if args.mesh_data and not args.trial:
+        raise SystemExit("--mesh-data applies to --trial exports only")
+    if args.mesh_data and args.chunk % args.mesh_data:
+        raise SystemExit(
+            f"--chunk ({args.chunk}) must be a multiple of --mesh-data "
+            f"({args.mesh_data})"
+        )
     try:
         src_hw = tuple(int(v) for v in args.src_hw.split(","))
         if len(src_hw) != 2:
@@ -110,6 +123,7 @@ def main():
         chunk_size=args.chunk,
         length_bucket=args.bucket,
         blend_weights=args.blend,
+        mesh_data=args.mesh_data,
     )
     if args.check:
         summary["check"] = check_artifact(summary["artifact"])

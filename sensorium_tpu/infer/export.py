@@ -105,6 +105,11 @@ def export_trial(
     model code and no host-side window logic.  ``src_hw`` fixes the raw
     video frame size (competition geometry 36x64); frames are centered on
     the model canvas exactly like ``StackInputsProcessor``.
+
+    A ``Predictor(mesh=...)`` exports a *multi-device* serving artifact:
+    each chunk's window forwards are sharded over the mesh's ``data``
+    axis (GSPMD inserts the collectives), inputs/outputs stay replicated,
+    and the artifact must be loaded on the same device count.
     """
     from sensorium_tpu.infer.predictor import assemble_trial_stack
 
@@ -134,6 +139,13 @@ def export_trial(
         (model.state.eval_params, model.state.eval_batch_stats)
     )
 
+    mesh = predictor.mesh
+    if mesh is not None and chunk % mesh.shape["data"]:
+        raise ValueError(
+            f"chunk_size {chunk} must be a multiple of the mesh data-axis "
+            f"size ({mesh.shape['data']})"
+        )
+
     def run(video, behavior, pupil_center, length):
         padded_len = video.shape[0]
         trial_inputs = assemble_trial_stack(
@@ -148,14 +160,29 @@ def export_trial(
             -gen.behind, gen.ahead + 1, gen.step, dtype=jnp.int32
         )
         windows = jnp.clip(anchors[:, None] + offsets[None, :], 0, padded_len - 1)
+        windows = windows.reshape(-1, chunk, gen.size)
+        valid = valid.reshape(-1, chunk)
+        if mesh is not None:
+            # Spread each chunk's window forwards over the data axis —
+            # same layout as the live sharded predictor (_jit_kwargs).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            windows = jax.lax.with_sharding_constraint(
+                windows, NamedSharding(mesh, PartitionSpec(None, "data", None))
+            )
+            valid = jax.lax.with_sharding_constraint(
+                valid, NamedSharding(mesh, PartitionSpec(None, "data"))
+            )
         return predictor._scan_windows(
-            trial_inputs,
-            params,
-            batch_stats,
-            windows.reshape(-1, chunk, gen.size),
-            valid.reshape(-1, chunk),
-            mouse_index,
+            trial_inputs, params, batch_stats, windows, valid, mouse_index
         )
+
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        jit_kwargs = dict(in_shardings=(rep,) * 4, out_shardings=rep)
 
     (k,) = jax_export.symbolic_shape("k")
     padded = bucket * k
@@ -165,7 +192,9 @@ def export_trial(
         jax.ShapeDtypeStruct((2, padded), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    return jax_export.export(jax.jit(run), platforms=tuple(platforms))(*specs)
+    return jax_export.export(jax.jit(run, **jit_kwargs), platforms=tuple(platforms))(
+        *specs
+    )
 
 
 def save_exported(path: Path | str, data) -> Path:
@@ -198,12 +227,15 @@ def export_model_file(
     chunk_size: int = 32,
     length_bucket: int = 64,
     blend_weights: str = "ones",
+    mesh_data: int = 0,
 ) -> dict:
     """Checkpoint file -> serving artifact file.  Returns a summary dict.
 
     ``trial=False`` exports the window forward (:func:`export_forward`);
     ``trial=True`` exports the whole-trial sliding-window program
-    (:func:`export_trial`, requires ``mouse_index``).
+    (:func:`export_trial`, requires ``mouse_index``).  ``mesh_data > 1``
+    exports a multi-device trial artifact sharded over an N-way ``data``
+    mesh (requires N local devices now and at serving time).
     """
     from sensorium_tpu.engine.model import load_model
 
@@ -213,11 +245,17 @@ def export_model_file(
             raise ValueError("trial export requires a mouse_index")
         from sensorium_tpu.infer.predictor import Predictor
 
+        mesh = None
+        if mesh_data > 1:
+            from sensorium_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(num_data=mesh_data)
         predictor = Predictor(
             model_path,
             blend_weights=blend_weights,
             chunk_size=chunk_size,
             length_bucket=length_bucket,
+            mesh=mesh,
         )
         exported = export_trial(
             predictor, mouse_index, src_hw=src_hw, platforms=platforms
@@ -281,6 +319,21 @@ def check_artifact(path: Path | str, batch: int = 1) -> dict:
         if lead_dim is None and shape:
             lead_dim = shape[0]
         args.append(np.zeros(shape, aval.dtype))
+    nr_devices = getattr(exported, "nr_devices", 1)
+    if nr_devices > 1:
+        # Multi-device artifact: replicate the (replicated-spec) inputs
+        # over the first nr_devices local devices.
+        devices = jax.devices()
+        if len(devices) < nr_devices:
+            raise ValueError(
+                f"artifact was exported for {nr_devices} devices; only "
+                f"{len(devices)} are visible on this host"
+            )
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(devices[:nr_devices]), ("data",))
+        rep = NamedSharding(mesh, PartitionSpec())
+        args = [jax.device_put(a, rep) for a in args]
     out = np.asarray(exported.call(*args))
     return {
         "input_shape": list(np.shape(args[0])),

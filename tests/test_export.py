@@ -215,6 +215,48 @@ class TestExportTrial:
         got = self._call(artifact, video, behavior, pupil_center, width - 2)
         np.testing.assert_array_equal(got, 0.0)
 
+    def test_mesh_sharded_artifact_matches_unsharded(
+        self, ckpt_path, predictor, tmp_path
+    ):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from sensorium_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(num_data=4)
+        sharded = Predictor(
+            ckpt_path, chunk_size=self.CHUNK, length_bucket=self.BUCKET, mesh=mesh
+        )
+        artifact = load_exported(
+            save_exported(
+                tmp_path / "mesh.trial.stablehlo",
+                export_trial(
+                    sharded, mouse_index=1, src_hw=(12, 16), platforms=("cpu",)
+                ),
+            )
+        )
+        assert artifact.nr_devices == 4
+
+        length = 37
+        video, behavior, pupil_center = _trial_arrays(length, seed=7)
+        want = predictor.predict_trial(video, behavior, pupil_center, 1)
+
+        padded = -(-length // self.BUCKET) * self.BUCKET
+        tpad = padded - length
+        planes = np.ascontiguousarray(np.transpose(video, (2, 0, 1)))
+        rep = NamedSharding(mesh, PartitionSpec())
+        args = [
+            jax.device_put(a, rep)
+            for a in (
+                np.pad(planes, ((0, tpad), (0, 0), (0, 0))),
+                np.pad(behavior, ((0, 0), (0, tpad))),
+                np.pad(pupil_center, ((0, 0), (0, tpad))),
+                np.int32(length),
+            )
+        ]
+        got = np.asarray(artifact.call(*args))[:, :length]
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-4)
+
     def test_cli_trial_flow(self, ckpt_path, tmp_path, monkeypatch, capsys):
         from sensorium_tpu.cli import export as export_cli
 
@@ -245,12 +287,31 @@ class TestExportTrial:
         with pytest.raises(SystemExit, match="--mouse"):
             export_cli.main()
 
+    def test_cli_mesh_trial_flow(self, ckpt_path, tmp_path, monkeypatch, capsys):
+        from sensorium_tpu.cli import export as export_cli
+
+        out = tmp_path / "mesh.stablehlo"
+        monkeypatch.setattr(
+            "sys.argv",
+            [
+                "export", "-m", str(ckpt_path), "-o", str(out),
+                "--mouse", "1", "--trial", "--src-hw", "12,16",
+                "--chunk", str(self.CHUNK), "--bucket", str(self.BUCKET),
+                "--mesh-data", "4", "--platforms", "cpu", "--check",
+            ],
+        )
+        export_cli.main()
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["check"]["finite"]
+        assert load_exported(out).nr_devices == 4
+
     @pytest.mark.parametrize(
         "flags, match",
         [
             (["--chunk", "0"], "positive"),
             (["--bucket", "-16"], "positive"),
             (["--bucket", "60", "--chunk", "32"], "multiple"),
+            (["--chunk", "8", "--bucket", "16", "--mesh-data", "3"], "mesh-data"),
         ],
     )
     def test_cli_rejects_bad_chunk_bucket(
