@@ -100,6 +100,11 @@ def main():
         )
     if args.mesh_data and not args.trial:
         raise SystemExit("--mesh-data applies to --trial exports only")
+    if args.mesh_data and args.mesh_data < 2:
+        raise SystemExit(
+            f"--mesh-data expects an integer >= 2 (a data axis of "
+            f"{args.mesh_data} devices cannot shard anything)"
+        )
     if args.mesh_data and args.chunk % args.mesh_data:
         raise SystemExit(
             f"--chunk ({args.chunk}) must be a multiple of --mesh-data "

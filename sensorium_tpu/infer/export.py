@@ -139,12 +139,9 @@ def export_trial(
         (model.state.eval_params, model.state.eval_batch_stats)
     )
 
+    # chunk % data-axis divisibility is enforced by Predictor.__init__
+    # (the only way a mesh reaches here), so it is not re-checked.
     mesh = predictor.mesh
-    if mesh is not None and chunk % mesh.shape["data"]:
-        raise ValueError(
-            f"chunk_size {chunk} must be a multiple of the mesh data-axis "
-            f"size ({mesh.shape['data']})"
-        )
 
     def run(video, behavior, pupil_center, length):
         padded_len = video.shape[0]
@@ -233,9 +230,10 @@ def export_model_file(
 
     ``trial=False`` exports the window forward (:func:`export_forward`);
     ``trial=True`` exports the whole-trial sliding-window program
-    (:func:`export_trial`, requires ``mouse_index``).  ``mesh_data > 1``
+    (:func:`export_trial`, requires ``mouse_index``).  ``mesh_data >= 2``
     exports a multi-device trial artifact sharded over an N-way ``data``
-    mesh (requires N local devices now and at serving time).
+    mesh (requires N local devices now and at serving time); 0 or 1 means
+    a single-device artifact, negatives raise.
     """
     from sensorium_tpu.engine.model import load_model
 
@@ -246,7 +244,17 @@ def export_model_file(
         from sensorium_tpu.infer.predictor import Predictor
 
         mesh = None
-        if mesh_data > 1:
+        if mesh_data and mesh_data != 1:
+            if mesh_data < 0:
+                raise ValueError(
+                    f"mesh_data must be 0 (no mesh) or >= 2, got {mesh_data}"
+                )
+            if len(jax.devices()) < mesh_data:
+                raise ValueError(
+                    f"mesh_data={mesh_data} needs {mesh_data} local devices "
+                    f"to lower the sharded program; only "
+                    f"{len(jax.devices())} are visible on this host"
+                )
             from sensorium_tpu.parallel.mesh import create_mesh
 
             mesh = create_mesh(num_data=mesh_data)
@@ -277,6 +285,7 @@ def export_model_file(
         "platforms": list(exported.platforms),
         "mouse_index": mouse_index,
         "trial": trial,
+        "nr_devices": getattr(exported, "nr_devices", 1),
         "input_shapes": [[str(d) for d in a.shape] for a in exported.in_avals],
         "output_shape": [str(d) for d in exported.out_avals[0].shape],
     }

@@ -303,7 +303,24 @@ class TestExportTrial:
         export_cli.main()
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["check"]["finite"]
+        assert summary["nr_devices"] == 4
         assert load_exported(out).nr_devices == 4
+
+    def test_mesh_data_device_count_and_sign_validated(self, ckpt_path, tmp_path):
+        from sensorium_tpu.infer.export import export_model_file
+
+        with pytest.raises(ValueError, match="local devices"):
+            export_model_file(
+                ckpt_path, out_path=tmp_path / "x.stablehlo", mouse_index=0,
+                trial=True, src_hw=(12, 16), chunk_size=self.CHUNK,
+                length_bucket=self.BUCKET, mesh_data=1024, platforms=("cpu",),
+            )
+        with pytest.raises(ValueError, match=">= 2"):
+            export_model_file(
+                ckpt_path, out_path=tmp_path / "x.stablehlo", mouse_index=0,
+                trial=True, src_hw=(12, 16), chunk_size=self.CHUNK,
+                length_bucket=self.BUCKET, mesh_data=-4, platforms=("cpu",),
+            )
 
     @pytest.mark.parametrize(
         "flags, match",
@@ -312,6 +329,8 @@ class TestExportTrial:
             (["--bucket", "-16"], "positive"),
             (["--bucket", "60", "--chunk", "32"], "multiple"),
             (["--chunk", "8", "--bucket", "16", "--mesh-data", "3"], "mesh-data"),
+            (["--chunk", "8", "--bucket", "16", "--mesh-data", "1"], ">= 2"),
+            (["--chunk", "8", "--bucket", "16", "--mesh-data", "-4"], ">= 2"),
         ],
     )
     def test_cli_rejects_bad_chunk_bucket(
