@@ -55,9 +55,15 @@ def poisson_nll(
     return elem
 
 
+def _broadcast_target(target: jax.Array, prediction: jax.Array) -> jax.Array:
+    """Accept either the compact (B, N, T) own-mouse target or a dense
+    (M, B, N, T) per-mouse target (the distillation-injected form)."""
+    return target if target.ndim == prediction.ndim else target[None]
+
+
 def mice_poisson_loss(
     prediction: jax.Array,  # (M, B, N_max, T) float32, zero-padded rows
-    target: jax.Array,  # (B, N_max, T) float32 — the sample's own mouse
+    target: jax.Array,  # (B, N_max, T) or dense (M, B, N_max, T) float32
     weights: jax.Array,  # (B, M) float32, nonzero only at the own mouse
     eps: float = 1e-8,
     log_input: bool = False,
@@ -76,11 +82,41 @@ def mice_poisson_loss(
     (``get_loss`` threads it from the model's readout_outputs).
     """
     weights = weights / jnp.sum(weights)
-    elem = poisson_nll(prediction, target[None], eps, log_input, full)  # (M, B, N, T)
+    elem = poisson_nll(
+        prediction, _broadcast_target(target, prediction), eps, log_input, full
+    )  # (M, B, N, T)
     if neuron_mask is not None:
         elem = elem * neuron_mask[:, None, :, None]
     per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
     return jnp.sum(per_cell * weights.T)
+
+
+def inject_distill_targets(
+    target: jax.Array,  # (B, N_max, T) float32
+    weights: jax.Array,  # (B, M) float32
+    teacher_prediction: jax.Array,  # (M, B, N_max, T) float32, no gradient
+    distill_ratio: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Teacher-target injection as pure arrays (argus_models.py:31-41).
+
+    Mirrors the reference's ``add_distill_predictions``, which mutates the
+    batch BEFORE the configured loss runs: every (batch, mouse) cell with
+    weight 0 gets the teacher's prediction as its target and weight
+    ``ratio / (1 - ratio) * sum(weights) / #distilled``.  The loss then
+    normalizes the weight matrix to sum 1, so the distilled cells carry
+    exactly ``distill_ratio`` of the total loss mass.  Returns the dense
+    ``(M, B, N_max, T)`` target and the filled ``(B, M)`` weights, to be
+    fed to whichever loss the config names.
+    """
+    active = weights != 0.0  # (B, M)
+    num_distilled = jnp.sum(~active)
+    distill_weight = (
+        distill_ratio / (1.0 - distill_ratio) * jnp.sum(weights) / num_distilled
+    )
+    full_weights = jnp.where(active, weights, distill_weight)  # (B, M)
+    active_mb = active.T[:, :, None, None]  # (M, B, 1, 1)
+    full_target = jnp.where(active_mb, target[None], teacher_prediction)
+    return full_target, full_weights
 
 
 def mice_poisson_distill_loss(
@@ -91,28 +127,12 @@ def mice_poisson_distill_loss(
     distill_ratio: float,
     eps: float = 1e-8,
 ) -> jax.Array:
-    """Poisson NLL with teacher predictions filling zero-weight cells.
-
-    Mirrors ``add_distill_predictions`` (argus_models.py:31-41): every
-    (batch, mouse) cell with weight 0 gets the teacher's prediction as its
-    target and weight ``ratio / (1 - ratio) * sum(weights) / #distilled``,
-    after which the loss normalizes the weight matrix to sum 1 — so the
-    distilled cells carry exactly ``distill_ratio`` of the total loss mass.
-    """
-    active = weights != 0.0  # (B, M)
-    num_distilled = jnp.sum(~active)
-    distill_weight = (
-        distill_ratio / (1.0 - distill_ratio) * jnp.sum(weights) / num_distilled
+    """Poisson NLL with teacher predictions filling zero-weight cells
+    (``inject_distill_targets`` composed with ``mice_poisson_loss``)."""
+    full_target, full_weights = inject_distill_targets(
+        target, weights, teacher_prediction, distill_ratio
     )
-    full_weights = jnp.where(active, weights, distill_weight)  # (B, M)
-    full_weights = full_weights / jnp.sum(full_weights)
-
-    active_mb = active.T[:, :, None, None]  # (M, B, 1, 1)
-    full_target = jnp.where(active_mb, target[None], teacher_prediction)
-
-    elem = poisson_nll(prediction, full_target, eps)
-    per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
-    return jnp.sum(per_cell * full_weights.T)
+    return mice_poisson_loss(prediction, full_target, full_weights, eps=eps)
 
 
 def _weighted_mice_reduce(elem_fn):
@@ -128,7 +148,7 @@ def _weighted_mice_reduce(elem_fn):
 
     def loss(prediction, target, weights, **kwargs):
         w = weights / jnp.sum(weights)
-        elem = elem_fn(prediction, target[None], **kwargs)  # (M, B, N, T)
+        elem = elem_fn(prediction, _broadcast_target(target, prediction), **kwargs)
         per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
         return jnp.sum(per_cell * w.T)
 
@@ -203,11 +223,7 @@ def get_loss(name: str, loss_params: dict, neuron_mask=None):
                     "(get_loss(neuron_mask=...), built from readout_outputs)"
                 )
             kwargs["neuron_mask"] = jnp.asarray(neuron_mask, jnp.float32)
-    eps = float(loss_params.get("eps", 1e-8))
-
     def loss_fn(prediction, target, weights):
         return base(prediction, target, weights, **kwargs)
 
-    loss_fn.eps = eps  # type: ignore[attr-defined]
-    loss_fn.name = name  # type: ignore[attr-defined]
     return loss_fn

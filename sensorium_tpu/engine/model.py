@@ -62,6 +62,11 @@ class MouseModel:
         self.optimizer_spec = params.get("optimizer", ("AdamW", {"lr": 1e-3}))
         self.iter_size = int(params.get("iter_size", 1))
         self.mesh = mesh
+        # A (data, model) mesh means DP+TP: parameter placement in
+        # build_state/load follows parallel.mesh.param_sharding_rules.
+        self.tensor_parallel = bool(
+            mesh is not None and mesh.shape.get("model", 1) > 1
+        )
 
         self.ema_decay: float = 0.0
         self.distill_ratio: float = 0.0
@@ -95,7 +100,9 @@ class MouseModel:
     def set_distill(self, teacher_module, teacher_vars: dict, ratio: float) -> None:
         """Attach a frozen teacher whose predictions fill unlabeled cells."""
         self.teacher_module = teacher_module
-        self.teacher_vars = mesh_lib.replicate_tree(self.mesh, teacher_vars)
+        self.teacher_vars = mesh_lib.shard_params(
+            self.mesh, teacher_vars, tensor_parallel=self.tensor_parallel
+        )
         self.distill_ratio = float(ratio)
         self._train_step = None
 
@@ -144,8 +151,7 @@ class MouseModel:
             ema_batch_stats=ema_batch_stats,
             rng=train_rng,
         )
-        if self.mesh is not None:
-            self.state = mesh_lib.replicate_tree(self.mesh, self.state)
+        self.state = mesh_lib.shard_state(self.mesh, self.state, self.tensor_parallel)
         self._train_step = None
         self._val_step = None
         return self.state
@@ -285,7 +291,10 @@ class MouseModel:
         prediction = self._predict_steps[mouse_index](
             self.state.eval_params, self.state.eval_batch_stats, inputs
         )
-        return prediction[0] if squeeze else prediction
+        if squeeze:
+            # Single-mouse output is (B, N, T); all-mice is (M, B, N_max, T).
+            return prediction[0] if mouse_index is not None else prediction[:, 0]
+        return prediction
 
     # ------------------------------------------------------------------ fit
 
@@ -423,6 +432,8 @@ class MouseModel:
         if self.state is None:
             raise RuntimeError("Call build_state() before load_train_state()")
         self.state, extra = ckpt.load_train_state(file_path, self.state)
+        # Restore the mesh placement (from_state_dict returns host leaves).
+        self.state = mesh_lib.shard_state(self.mesh, self.state, self.tensor_parallel)
         return extra
 
 
@@ -450,8 +461,7 @@ def load_model(file_path, mesh=None) -> MouseModel:
         ema_batch_stats=None,
         rng=jax.random.PRNGKey(0),
     )
-    if mesh is not None:
-        model.state = mesh_lib.replicate_tree(mesh, model.state)
+    model.state = mesh_lib.shard_state(mesh, model.state, model.tensor_parallel)
     return model
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from sensorium_tpu.engine.ema import ema_update
-from sensorium_tpu.engine.losses import mice_poisson_distill_loss
+from sensorium_tpu.engine.losses import inject_distill_targets
 from sensorium_tpu.engine.state import TrainState
 
 
@@ -69,14 +69,12 @@ def make_train_step(
                     train=False,
                 )
                 teacher_pred = jax.lax.stop_gradient(teacher_pred.astype(jnp.float32))
-                loss = mice_poisson_distill_loss(
-                    prediction,
-                    targets,
-                    weights,
-                    teacher_pred,
-                    distill_ratio,
-                    eps=loss_fn.eps,
+                # Reference order (argus_models.py:50-52): inject teacher
+                # targets into the batch, THEN apply the configured loss.
+                full_targets, full_weights = inject_distill_targets(
+                    targets, weights, teacher_pred, distill_ratio
                 )
+                loss = loss_fn(prediction, full_targets, full_weights)
             else:
                 loss = loss_fn(prediction, targets, weights)
             return loss, mutated["batch_stats"]

@@ -30,7 +30,22 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from sensorium_tpu.ops.conv import portable_dots
+
 EXPORT_SUFFIX = ".stablehlo"
+
+
+def _dot_lowering_for(platforms):
+    """CPU-executable bf16 dot lowering whenever the artifact targets cpu.
+
+    The ambient-backend heuristic in ``ops.conv.accum_dtype`` is wrong for
+    multi-platform exports (a TPU-host trace would bake BF16xBF16=F32
+    grouped dots that XLA:CPU cannot run); ``portable_dots`` pins the
+    trace-time choice to the artifact's declared platform list instead.
+    """
+    import contextlib
+
+    return portable_dots() if "cpu" in platforms else contextlib.nullcontext()
 
 
 def export_forward(
@@ -77,7 +92,8 @@ def export_forward(
     spec = jax.ShapeDtypeStruct(
         (batch, nn.in_channels, frames, height, width), jnp.float32
     )
-    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+    with _dot_lowering_for(platforms):
+        return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
 
 
 def export_trial(
@@ -189,9 +205,10 @@ def export_trial(
         jax.ShapeDtypeStruct((2, padded), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    return jax_export.export(jax.jit(run, **jit_kwargs), platforms=tuple(platforms))(
-        *specs
-    )
+    with _dot_lowering_for(platforms):
+        return jax_export.export(
+            jax.jit(run, **jit_kwargs), platforms=tuple(platforms)
+        )(*specs)
 
 
 def save_exported(path: Path | str, data) -> Path:

@@ -156,8 +156,16 @@ class Predictor:
 
         rep = NamedSharding(self.mesh, PartitionSpec())
         chunked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        # Weights keep whatever placement load_model gave them — replicated
+        # on a pure data mesh, TP-sharded over the ``model`` axis on a
+        # (data, model) mesh (parallel/mesh.py shard_state).
+        state = self.model.state
+        param_shardings = jax.tree.map(lambda x: x.sharding, state.eval_params)
+        stats_shardings = jax.tree.map(lambda x: x.sharding, state.eval_batch_stats)
         return dict(
-            in_shardings=(rep, rep) + (rep,) * num_trial_args + (chunked, chunked),
+            in_shardings=(param_shardings, stats_shardings)
+            + (rep,) * num_trial_args
+            + (chunked, chunked),
             out_shardings=rep,
         )
 

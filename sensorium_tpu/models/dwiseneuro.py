@@ -228,7 +228,10 @@ class ShuffleLayer(nn.Module):
 
         if self.in_features != self.out_features:
             reps = math.ceil(self.out_features / self.in_features)
-            shortcut = jnp.tile(shortcut, (1, 1, reps))[..., : self.out_features]
+            # Minor-axis concatenate, not jnp.tile: bit-identical but keeps
+            # the (8,128) layout (same lowering fix as InvertedResidual3d's
+            # shortcut above; docs/PERF.md "shortcut lowering fix").
+            shortcut = jnp.concatenate([shortcut] * reps, axis=-1)[..., : self.out_features]
         shortcut = BatchNormAct(self.out_features, act=False, dtype=self.dtype, name="bn_sc")(
             shortcut, train
         )

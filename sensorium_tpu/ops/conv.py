@@ -29,19 +29,50 @@ All tensors are channels-last: 3-D data is (B, T, H, W, C), 1-D data is
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time flag: lower bf16 dots so every platform of a multi-platform
+# export can execute them (see ``portable_dots``).
+_PORTABLE_DOTS = False
+
+
+@contextlib.contextmanager
+def portable_dots():
+    """Trace bf16 dots in a form every export platform can execute.
+
+    ``accum_dtype`` normally keys off the *ambient* backend, which is wrong
+    for ``jax.export`` artifacts that declare several platforms: a program
+    traced on a TPU host with ``platforms=("tpu", "cpu")`` would bake
+    BF16xBF16=F32 dots that XLA:CPU cannot execute (grouped/batched dots
+    hit the DotThunk limitation).  Inside this context ``accum_dtype``
+    returns operand-dtype accumulation for bf16 regardless of backend —
+    numerically equivalent on TPU, where the MXU accumulates bf16 operands
+    in fp32 internally and every call site immediately casts the result
+    back to the operand dtype.
+    """
+    global _PORTABLE_DOTS
+    prev = _PORTABLE_DOTS
+    _PORTABLE_DOTS = True
+    try:
+        yield
+    finally:
+        _PORTABLE_DOTS = prev
 
 
 def accum_dtype(x: jax.Array):
     """MXU dots accumulate bf16 operands in fp32 (``preferred_element_type``).
 
     The CPU backend (tests, virtual-mesh dryruns) cannot *execute* mixed
-    BF16xBF16=F32 dots (XLA:CPU DotThunk limitation), so there we fall back
-    to operand-dtype accumulation — XLA:CPU upcasts bf16 internally anyway.
-    TPU behavior is unchanged.
+    bf16-operand batched/grouped dots with F32 accumulation (XLA:CPU
+    DotThunk limitation), so there we fall back to operand-dtype
+    accumulation — XLA:CPU upcasts bf16 internally anyway.  TPU behavior
+    is unchanged.  ``portable_dots`` forces the fallback at trace time for
+    multi-platform exports.
     """
-    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+    if x.dtype == jnp.bfloat16 and (_PORTABLE_DOTS or jax.default_backend() == "cpu"):
         return None
     return jnp.float32
 

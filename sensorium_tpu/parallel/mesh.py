@@ -102,3 +102,32 @@ def shard_params(mesh: Mesh | None, params, tensor_parallel: bool = False):
         return jax.device_put(value, NamedSharding(mesh, spec_for(path_names, value)))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_state(mesh: Mesh | None, state, tensor_parallel: bool = False):
+    """Place a ``TrainState`` on the mesh.
+
+    Replicated by default (batch DP).  With ``tensor_parallel`` every
+    parameter-shaped tree — live params, EMA params, and the optimizer
+    moments (which mirror the param tree, so ``param_sharding_rules``
+    matches their leaf paths too) — shards its readout/cortex mass over
+    the ``model`` axis; BN statistics, step and RNG stay replicated.
+    ``mesh=None`` passes the state through untouched.
+    """
+    if mesh is None:
+        return state
+    if not tensor_parallel or mesh.shape.get("model", 1) == 1:
+        return jax.device_put(state, replicated(mesh))
+
+    def tp(tree):
+        return shard_params(mesh, tree, tensor_parallel=True)
+
+    return state.replace(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=tp(state.params),
+        batch_stats=replicate_tree(mesh, state.batch_stats),
+        opt_state=tp(state.opt_state),
+        ema_params=tp(state.ema_params),
+        ema_batch_stats=replicate_tree(mesh, state.ema_batch_stats),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )

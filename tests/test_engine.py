@@ -524,6 +524,24 @@ class TestMouseModelFit:
         actual = np.asarray(restored.predict(sample, mouse_index=1))
         np.testing.assert_allclose(actual, expected, rtol=2e-5, atol=1e-6)
 
+    def test_predict_squeeze_shapes(self):
+        """An unbatched (C, T, H, W) input squeezes the BATCH axis for both
+        routes: single-mouse output is (B, N, T) -> (N, T), all-mice output
+        is (M, B, N_max, T) -> (M, N_max, T) — squeezing axis 0 there would
+        drop the mouse axis instead."""
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0)
+        rng = np.random.default_rng(5)
+        batch = random_batch(rng)
+        sample = batch.inputs[0]  # (C, T, H, W)
+
+        single = np.asarray(model.predict(sample, mouse_index=1))
+        assert single.shape == (7, batch.inputs.shape[2])
+
+        all_mice = np.asarray(model.predict(sample))
+        assert all_mice.shape == (2, 7, batch.inputs.shape[2])
+        np.testing.assert_allclose(all_mice[1, : single.shape[0]], single, rtol=1e-5, atol=1e-6)
+
     def test_iter_size_accumulation_close_to_full_batch(self):
         """iter_size=2 halves BN batches but grads should stay close."""
         rng = np.random.default_rng(1)
@@ -611,6 +629,61 @@ class TestDistillation:
         plain.build_state(seed=0, learning_rate=1e-3)
         plain_loss = float(plain.train_step(batch))
         assert loss != pytest.approx(plain_loss, rel=1e-6)
+
+    def test_configured_loss_drives_distill_step(self):
+        """The reference injects teacher targets and THEN applies whatever
+        loss the config names (argus_models.py:50-52); the train step must
+        not hardcode the Poisson form when distillation is on."""
+        from sensorium_tpu.engine.losses import get_loss, inject_distill_targets
+
+        params = tiny_params()
+        params["loss"] = ("MSELoss", {})
+        # Deterministic forward so the expectation can be recomputed.
+        params["nn_module"][1]["drop_rate"] = 0.0
+        params["nn_module"][1]["drop_path_rate"] = 0.0
+
+        student = MouseModel(params)
+        student.build_state(seed=0, learning_rate=1e-3)
+        teacher = MouseModel(params)
+        teacher.build_state(seed=1)
+        teacher_vars = {
+            "params": teacher.state.params,
+            "batch_stats": teacher.state.batch_stats,
+        }
+        ratio = 0.36
+        student.set_distill(teacher.nn_module, teacher_vars, ratio=ratio)
+
+        rng = np.random.default_rng(11)
+        batch = random_batch(rng)
+
+        # Recompute the expectation from the same pre-step state.
+        step_rng = jax.random.split(student.state.rng)[1]
+        prediction, _ = student.nn_module.apply(
+            {"params": student.state.params, "batch_stats": student.state.batch_stats},
+            batch.inputs,
+            train=True,
+            rngs={"dropout": step_rng},
+            mutable=["batch_stats"],
+        )
+        teacher_pred = teacher.nn_module.apply(
+            {"params": teacher_vars["params"], "batch_stats": teacher_vars["batch_stats"]},
+            batch.inputs,
+            train=False,
+        )
+        full_target, full_weights = inject_distill_targets(
+            jnp.asarray(batch.targets),
+            jnp.asarray(batch.weights),
+            teacher_pred.astype(jnp.float32),
+            ratio,
+        )
+        expected = float(
+            get_loss("MSELoss", {})(
+                prediction.astype(jnp.float32), full_target, full_weights
+            )
+        )
+
+        actual = float(student.train_step(batch))
+        assert actual == pytest.approx(expected, rel=1e-5)
 
 
 class TestBf16InputStaging:

@@ -56,6 +56,30 @@ class TestExportForward:
         assert got.shape == (2, 7, 4)
         np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
 
+    def test_bf16_model_traced_on_tpu_host_runs_on_cpu(self, tmp_path, monkeypatch):
+        """A multi-platform export must not bake the tracing host's dot
+        lowering into the artifact: a bf16 model exported on a TPU host
+        with "cpu" in its platform list used to carry BF16xBF16=F32
+        grouped dots that XLA:CPU cannot execute (DotThunk limitation)."""
+        import jax
+
+        params = tiny_params()
+        params["nn_module"][1]["dtype"] = "bfloat16"
+        m = MouseModel(params)
+        m.build_state(seed=0)
+
+        # Simulate tracing on a TPU host: accum_dtype keys off the ambient
+        # backend, which is the bug under test.
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        data = export_forward(m, mouse_index=0, platforms=("cpu",))
+        monkeypatch.undo()
+
+        exported = load_exported(save_exported(tmp_path / "bf16.stablehlo", data))
+        x = _inputs(2)
+        got = np.asarray(exported.call(x))  # raises DotThunk error pre-fix
+        expected = np.asarray(m.predict(x, mouse_index=0))
+        np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
+
     def test_symbolic_batch_serves_multiple_sizes(self, model, tmp_path):
         data = export_forward(model, mouse_index=0, platforms=("cpu",))
         exported = load_exported(save_exported(tmp_path / "m0.stablehlo", data))

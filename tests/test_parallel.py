@@ -13,7 +13,6 @@ from sensorium_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
     replicate_tree,
-    shard_params,
 )
 
 from tests.test_engine import random_batch, tiny_params
@@ -104,41 +103,89 @@ class TestDataParallelParity:
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
-class TestTensorParallel:
-    def test_readout_kernel_sharded_over_model_axis(self, mesh):
-        model = MouseModel(tiny_params(), mesh=mesh)
-        model.build_state(seed=0, learning_rate=1e-3)
-        tp_params = shard_params(mesh, model.state.params, tensor_parallel=True)
-        kernel = tp_params["readout_kernel"]
-        # Padded-output axis split over the 2-way model axis.
-        shard_shapes = {s.data.shape for s in kernel.addressable_shards}
-        full = kernel.shape
-        assert shard_shapes == {(full[0], full[1], full[2], full[3] // 2)}
+def _model_axis_shards(value):
+    """Distinct shard shapes of a (possibly) model-axis-sharded array."""
+    return {s.data.shape for s in value.addressable_shards}
 
-        # The forward still runs and matches the replicated result.
+
+class TestTensorParallel:
+    def test_build_state_shards_readout_over_model_axis(self, mesh):
+        """A (data, model) mesh means DP+TP out of the box: build_state must
+        TP-place the dominant parameter mass (params, EMA, optimizer
+        moments) without the caller touching shard_params."""
+        model = MouseModel(tiny_params(), mesh=mesh)
+        model.set_ema(0.9)
+        model.build_state(seed=0, learning_rate=1e-3)
+        assert model.tensor_parallel
+
+        kernel = model.state.params["readout_kernel"]
+        full = kernel.shape
+        half = (full[0], full[1], full[2], full[3] // 2)
+        # Padded-output axis split over the 2-way model axis, in the live
+        # params, the EMA copy, AND the AdamW moments.
+        assert _model_axis_shards(kernel) == {half}
+        assert _model_axis_shards(model.state.ema_params["readout_kernel"]) == {half}
+        moments = [
+            value
+            for path, value in jax.tree_util.tree_flatten_with_path(
+                model.state.opt_state
+            )[0]
+            if "readout_kernel" in jax.tree_util.keystr(path)
+            and value.shape == full
+        ]
+        assert moments and all(_model_axis_shards(m) == {half} for m in moments)
+
+        # The forward matches a replicated single-device model bit-for-bit
+        # shape-wise and numerically to reassociation noise.
         rng = np.random.default_rng(2)
         batch = random_batch(rng, batch=8)
-        state = model.state.replace(params=tp_params)
-        expected = model.predict(batch.inputs, mouse_index=1)
-        model.state = state
+        plain = MouseModel(tiny_params())
+        plain.build_state(seed=0, learning_rate=1e-3)
+        expected = plain.predict(batch.inputs, mouse_index=1)
         actual = model.predict(batch.inputs, mouse_index=1)
         np.testing.assert_allclose(
             np.asarray(actual), np.asarray(expected), rtol=1e-4, atol=1e-5
         )
 
-    def test_tp_train_step_runs(self, mesh):
+    def test_tp_train_step_runs_and_keeps_placement(self, mesh):
         model = MouseModel(tiny_params(), mesh=mesh)
         model.set_ema(0.9)
         model.build_state(seed=0, learning_rate=1e-3)
-        model.state = model.state.replace(
-            params=shard_params(mesh, model.state.params, tensor_parallel=True),
-            ema_params=shard_params(mesh, model.state.ema_params, tensor_parallel=True),
-        )
         rng = np.random.default_rng(3)
         batch = random_batch(rng, batch=8)
         loss1 = float(model.train_step(batch))
         loss2 = float(model.train_step(batch))
         assert np.isfinite(loss1) and np.isfinite(loss2)
+        kernel = model.state.params["readout_kernel"]
+        full = kernel.shape
+        assert _model_axis_shards(kernel) == {
+            (full[0], full[1], full[2], full[3] // 2)
+        }
+
+    def test_tp_resume_restores_placement(self, mesh, tmp_path):
+        """load_train_state returns host leaves; the model must re-place
+        them on the mesh (TP included) before training continues."""
+        model = MouseModel(tiny_params(), mesh=mesh)
+        model.set_ema(0.9)
+        model.build_state(seed=0, learning_rate=1e-3)
+        rng = np.random.default_rng(4)
+        batch = random_batch(rng, batch=8)
+        model.train_step(batch)
+        path = tmp_path / "train_state.ckpt"
+        model.save_train_state(path, extra={"epoch": 0})
+
+        resumed = MouseModel(tiny_params(), mesh=mesh)
+        resumed.set_ema(0.9)
+        resumed.build_state(seed=1, learning_rate=1e-3)
+        extra = resumed.load_train_state(path)
+        assert extra["epoch"] == 0
+        kernel = resumed.state.params["readout_kernel"]
+        full = kernel.shape
+        assert _model_axis_shards(kernel) == {
+            (full[0], full[1], full[2], full[3] // 2)
+        }
+        loss = float(resumed.train_step(batch))
+        assert np.isfinite(loss)
 
 
 class TestShardedPredictor:
