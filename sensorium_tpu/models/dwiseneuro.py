@@ -67,6 +67,18 @@ def softplus_beta(x: jax.Array, beta: float, threshold: float = 20.0) -> jax.Arr
     return jnp.where(bx > threshold, x, jnp.logaddexp(bx, 0.0) / beta)
 
 
+def softplus_learnable(x: jax.Array, beta: jax.Array) -> jax.Array:
+    """softplus(beta * x) / beta with a TRAINABLE beta.
+
+    Same stabilization as the reference's ``LearnableSoftplus``
+    (README.md:121-133): ``(clamp(xb, 0) + log1p(exp(min(xb, -xb)))) / beta``
+    — no linear-region threshold; ``log1p(exp(-|xb|))`` underflows to zero
+    exactly where the fixed form would switch to its linear region.
+    """
+    bx = beta * x
+    return (jnp.maximum(bx, 0.0) + jnp.log1p(jnp.exp(jnp.minimum(bx, -bx)))) / beta
+
+
 def readout_group_sizes(num_neurons: int, groups: int) -> list[int]:
     """How many of each group's conv outputs survive the slice to N neurons.
 
@@ -259,6 +271,12 @@ class DwiseNeuro(nn.Module):
     cortex_features: Sequence[int] = (1024, 2048, 4096)
     groups: int = 1
     softplus_beta: float = 0.07
+    # Trainable per-readout softplus beta, initialized at ``softplus_beta``
+    # (the reference author's README.md:112-133 experiment: the trained
+    # value converges near the grid-searched optimum).  Off in every
+    # shipped config — the reference found it slightly worse — but exposed
+    # so a config can flip it on to auto-tune beta.
+    learnable_softplus: bool = False
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
@@ -385,6 +403,14 @@ class DwiseNeuro(nn.Module):
         x = self.cortex(x, train)
 
         kernel, bias = self._readout_params()
+        if self.learnable_softplus:
+            # One beta per readout — the reference experiment replaces each
+            # Readout's Softplus with its own LearnableSoftplus module.
+            betas = self.param(
+                "readout_softplus_beta",
+                lambda key, shape: jnp.full(shape, self.softplus_beta, jnp.float32),
+                (self.num_mice,),
+            )
         kernel = kernel.astype(self.dtype)
         cortex_out = x.shape[-1]
         cin_g = cortex_out // self.groups
@@ -405,7 +431,10 @@ class DwiseNeuro(nn.Module):
                 )
                 + bias[mouse_index]
             )
-            pred = softplus_beta(logits, self.softplus_beta)
+            if self.learnable_softplus:
+                pred = softplus_learnable(logits, betas[mouse_index].astype(logits.dtype))
+            else:
+                pred = softplus_beta(logits, self.softplus_beta)
             return self._assemble_flat(pred, mouse_index)
 
         # All-mice path: each readout draws its own dropout mask on the
@@ -429,7 +458,12 @@ class DwiseNeuro(nn.Module):
                 "btgc,mgcp->mbtgp", to_groups(x), kernel, preferred_element_type=accum_dtype(x)
             )
         logits = logits + bias[:, None, None]
-        pred = softplus_beta(logits, self.softplus_beta)
+        if self.learnable_softplus:
+            pred = softplus_learnable(
+                logits, betas[:, None, None, None, None].astype(logits.dtype)
+            )
+        else:
+            pred = softplus_beta(logits, self.softplus_beta)
 
         padded = []
         for mouse in range(self.num_mice):

@@ -145,3 +145,75 @@ def test_train_forward_and_bn_stat_updates_match_torch(golden, model, variables)
         np.testing.assert_allclose(
             np.asarray(value), flat_exp[path], rtol=1e-4, atol=1e-5, err_msg=str(path)
         )
+
+
+class TestLearnableSoftplus:
+    """Opt-in trainable softplus beta (reference README.md:112-133)."""
+
+    def test_matches_torch_snippet(self):
+        """Forward AND d/dbeta match the reference's numerically-stable
+        LearnableSoftplus implementation (README.md:121-133)."""
+        import torch
+
+        from sensorium_tpu.models.dwiseneuro import softplus_learnable
+
+        rng = np.random.default_rng(0)
+        x_np = rng.normal(0, 30, (4, 257)).astype(np.float32)  # incl. |bx|>20
+        beta0 = 0.07
+
+        xt = torch.tensor(x_np)
+        bt = torch.tensor(beta0, requires_grad=True)
+        xb = xt * bt
+        out_t = (torch.clamp(xb, 0) + torch.minimum(xb, -xb).exp().log1p()) / bt
+        out_t.sum().backward()
+
+        def f(beta):
+            return softplus_learnable(jnp.asarray(x_np), beta)
+
+        out_j = f(jnp.float32(beta0))
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t.detach().numpy(), rtol=1e-6, atol=1e-6
+        )
+        grad_j = jax.grad(lambda b: jnp.sum(f(b)))(jnp.float32(beta0))
+        np.testing.assert_allclose(float(grad_j), float(bt.grad), rtol=1e-4)
+
+    def test_init_matches_fixed_beta_model(self):
+        """At init the learnable model computes the identical function (beta
+        starts at the configured value); shared params init identically
+        (flax derives init RNG from the param path, not creation order)."""
+        fixed = DwiseNeuro(**MODEL_KWARGS)
+        learn = DwiseNeuro(**{**MODEL_KWARGS, "learnable_softplus": True})
+        x = np.random.default_rng(1).uniform(0, 255, (2, 5, 4, 16, 16)).astype(np.float32)
+
+        v_fixed = fixed.init(jax.random.PRNGKey(0), x)
+        v_learn = learn.init(jax.random.PRNGKey(0), x)
+        betas = v_learn["params"]["readout_softplus_beta"]
+        assert betas.shape == (len(READOUT_OUTPUTS),)
+        np.testing.assert_array_equal(np.asarray(betas), np.float32(0.07))
+        assert "readout_softplus_beta" not in v_fixed["params"]
+
+        out_f = fixed.apply(v_fixed, x)
+        out_l = learn.apply(v_learn, x)
+        np.testing.assert_allclose(
+            np.asarray(out_l), np.asarray(out_f), rtol=1e-6, atol=1e-6
+        )
+        # Single-mouse route too.
+        out_f1 = fixed.apply(v_fixed, x, mouse_index=1)
+        out_l1 = learn.apply(v_learn, x, mouse_index=1)
+        np.testing.assert_allclose(
+            np.asarray(out_l1), np.asarray(out_f1), rtol=1e-6, atol=1e-6
+        )
+
+    def test_beta_receives_gradient(self):
+        learn = DwiseNeuro(**{**MODEL_KWARGS, "learnable_softplus": True})
+        x = np.random.default_rng(2).uniform(0, 255, (2, 5, 4, 16, 16)).astype(np.float32)
+        variables = learn.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(params):
+            out = learn.apply({**variables, "params": params}, x)
+            return jnp.sum(out * out)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        g = np.asarray(grads["readout_softplus_beta"])
+        assert g.shape == (len(READOUT_OUTPUTS),)
+        assert np.all(np.isfinite(g)) and np.all(g != 0.0)
