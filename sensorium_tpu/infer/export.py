@@ -23,12 +23,14 @@ Properties of the artifact:
 
 from __future__ import annotations
 
+import contextlib
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
+from jax.sharding import NamedSharding, PartitionSpec
 
 from sensorium_tpu.ops.conv import portable_dots
 
@@ -43,8 +45,6 @@ def _dot_lowering_for(platforms):
     grouped dots that XLA:CPU cannot run); ``portable_dots`` pins the
     trace-time choice to the artifact's declared platform list instead.
     """
-    import contextlib
-
     return portable_dots() if "cpu" in platforms else contextlib.nullcontext()
 
 
@@ -178,8 +178,6 @@ def export_trial(
         if mesh is not None:
             # Spread each chunk's window forwards over the data axis —
             # same layout as the live sharded predictor (_jit_kwargs).
-            from jax.sharding import NamedSharding, PartitionSpec
-
             windows = jax.lax.with_sharding_constraint(
                 windows, NamedSharding(mesh, PartitionSpec(None, "data", None))
             )
@@ -192,8 +190,6 @@ def export_trial(
 
     jit_kwargs = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
         rep = NamedSharding(mesh, PartitionSpec())
         jit_kwargs = dict(in_shardings=(rep,) * 4, out_shardings=rep)
 
@@ -255,6 +251,13 @@ def export_model_file(
     from sensorium_tpu.engine.model import load_model
 
     model_path = Path(model_path)
+    if mesh_data < 0:
+        raise ValueError(f"mesh_data must be 0 (no mesh) or >= 2, got {mesh_data}")
+    if mesh_data > 1 and not trial:
+        raise ValueError(
+            "mesh_data applies to trial exports only (trial=True); the "
+            "window-forward artifact is single-device"
+        )
     if trial:
         if mouse_index is None:
             raise ValueError("trial export requires a mouse_index")
@@ -262,10 +265,6 @@ def export_model_file(
 
         mesh = None
         if mesh_data and mesh_data != 1:
-            if mesh_data < 0:
-                raise ValueError(
-                    f"mesh_data must be 0 (no mesh) or >= 2, got {mesh_data}"
-                )
             if len(jax.devices()) < mesh_data:
                 raise ValueError(
                     f"mesh_data={mesh_data} needs {mesh_data} local devices "
@@ -355,7 +354,7 @@ def check_artifact(path: Path | str, batch: int = 1) -> dict:
                 f"artifact was exported for {nr_devices} devices; only "
                 f"{len(devices)} are visible on this host"
             )
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(devices[:nr_devices]), ("data",))
         rep = NamedSharding(mesh, PartitionSpec())

@@ -40,9 +40,9 @@ import numpy as np
 from flax import linen as nn
 
 from sensorium_tpu.ops.conv import (
-    accum_dtype,
     depthwise_conv_spatial,
     depthwise_conv_temporal,
+    einsum_f32,
     grouped_pointwise,
     pointwise,
 )
@@ -423,12 +423,7 @@ class DwiseNeuro(nn.Module):
                 x = channel_dropout(x, self.drop_rate, self.make_rng("dropout"))
             xg = to_groups(x)  # (B,T,G,C/G)
             logits = (
-                jnp.einsum(
-                    "btgc,gcp->btgp",
-                    xg,
-                    kernel[mouse_index],
-                    preferred_element_type=accum_dtype(xg),
-                )
+                einsum_f32("btgc,gcp->btgp", xg, kernel[mouse_index])
                 + bias[mouse_index]
             )
             if self.learnable_softplus:
@@ -447,16 +442,9 @@ class DwiseNeuro(nn.Module):
                 self.drop_rate,
                 self.make_rng("dropout"),
             ).reshape((self.num_mice,) + x.shape)
-            logits = jnp.einsum(
-                "mbtgc,mgcp->mbtgp",
-                to_groups(xm),
-                kernel,
-                preferred_element_type=accum_dtype(x),
-            )
+            logits = einsum_f32("mbtgc,mgcp->mbtgp", to_groups(xm), kernel)
         else:
-            logits = jnp.einsum(
-                "btgc,mgcp->mbtgp", to_groups(x), kernel, preferred_element_type=accum_dtype(x)
-            )
+            logits = einsum_f32("btgc,mgcp->mbtgp", to_groups(x), kernel)
         logits = logits + bias[:, None, None]
         if self.learnable_softplus:
             pred = softplus_learnable(

@@ -30,13 +30,16 @@ All tensors are channels-last: 3-D data is (B, T, H, W, C), 1-D data is
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import jax
 import jax.numpy as jnp
 
 # Trace-time flag: lower bf16 dots so every platform of a multi-platform
-# export can execute them (see ``portable_dots``).
-_PORTABLE_DOTS = False
+# export can execute them (see ``portable_dots``).  A ContextVar so an
+# in-flight export on one thread cannot leak the portable lowering into
+# jit traces happening concurrently on other threads.
+_PORTABLE_DOTS = contextvars.ContextVar("sensorium_portable_dots", default=False)
 
 
 @contextlib.contextmanager
@@ -47,19 +50,28 @@ def portable_dots():
     for ``jax.export`` artifacts that declare several platforms: a program
     traced on a TPU host with ``platforms=("tpu", "cpu")`` would bake
     BF16xBF16=F32 dots that XLA:CPU cannot execute (grouped/batched dots
-    hit the DotThunk limitation).  Inside this context ``accum_dtype``
-    returns operand-dtype accumulation for bf16 regardless of backend —
-    numerically equivalent on TPU, where the MXU accumulates bf16 operands
-    in fp32 internally and every call site immediately casts the result
-    back to the operand dtype.
+    hit the DotThunk limitation).  Inside this context bf16 dots lower
+    portably instead: castback sites (``pointwise``/``grouped_pointwise``,
+    which round to bf16 immediately) use operand-dtype accumulation, and
+    f32-consuming sites (the readout einsums) upcast their bf16 operands —
+    bit-equivalent math either way, since bf16 embeds exactly in f32 and
+    the MXU accumulates in f32 regardless.
+
+    NOTE: only wrap *fresh* traces (as ``jax.export.export`` does).  Any
+    unrelated ``jax.jit`` function first traced while this context is
+    active would cache the portable lowering for the process lifetime.
     """
-    global _PORTABLE_DOTS
-    prev = _PORTABLE_DOTS
-    _PORTABLE_DOTS = True
+    token = _PORTABLE_DOTS.set(True)
     try:
         yield
     finally:
-        _PORTABLE_DOTS = prev
+        _PORTABLE_DOTS.reset(token)
+
+
+def _portable_backend(x: jax.Array) -> bool:
+    return x.dtype == jnp.bfloat16 and (
+        _PORTABLE_DOTS.get() or jax.default_backend() == "cpu"
+    )
 
 
 def accum_dtype(x: jax.Array):
@@ -68,13 +80,31 @@ def accum_dtype(x: jax.Array):
     The CPU backend (tests, virtual-mesh dryruns) cannot *execute* mixed
     bf16-operand batched/grouped dots with F32 accumulation (XLA:CPU
     DotThunk limitation), so there we fall back to operand-dtype
-    accumulation — XLA:CPU upcasts bf16 internally anyway.  TPU behavior
-    is unchanged.  ``portable_dots`` forces the fallback at trace time for
-    multi-platform exports.
+    accumulation — XLA:CPU upcasts bf16 internally anyway, and every
+    caller immediately casts the result back to the operand dtype, so the
+    fallback is numerics-neutral.  ``portable_dots`` forces it at trace
+    time for multi-platform exports.
     """
-    if x.dtype == jnp.bfloat16 and (_PORTABLE_DOTS or jax.default_backend() == "cpu"):
+    if _portable_backend(x):
         return None
     return jnp.float32
+
+
+def einsum_f32(spec: str, *operands: jax.Array) -> jax.Array:
+    """Einsum whose f32 accumulation survives every backend.
+
+    For dots whose f32 result is CONSUMED at full precision (the readout
+    logits feeding softplus), operand-dtype fallback would change the
+    numbers.  Instead, where BF16xBF16=F32 grouped dots cannot execute
+    (XLA:CPU, portable exports), the bf16 operands are upcast to f32 —
+    bit-equivalent: bf16 embeds exactly in f32, multiplies of
+    bf16-representable values are exact in f32, and the accumulation is
+    f32 either way.
+    """
+    x = operands[0]
+    if _portable_backend(x):
+        return jnp.einsum(spec, *(o.astype(jnp.float32) for o in operands))
+    return jnp.einsum(spec, *operands, preferred_element_type=jnp.float32)
 
 
 def pointwise(x: jax.Array, kernel: jax.Array, preferred_dtype=None) -> jax.Array:

@@ -345,6 +345,14 @@ class TestExportTrial:
                 trial=True, src_hw=(12, 16), chunk_size=self.CHUNK,
                 length_bucket=self.BUCKET, mesh_data=-4, platforms=("cpu",),
             )
+        # The Python API must reject mesh_data on non-trial exports too
+        # (the CLI guards it separately); silently writing a single-device
+        # artifact would be a deploy-time surprise.
+        with pytest.raises(ValueError, match="trial exports only"):
+            export_model_file(
+                ckpt_path, out_path=tmp_path / "x.stablehlo", mouse_index=0,
+                mesh_data=4, platforms=("cpu",),
+            )
 
     @pytest.mark.parametrize(
         "flags, match",

@@ -172,3 +172,24 @@ def test_channel_dropout_zeroes_whole_channels():
             col = y[b, :, c]
             assert np.all(col == 0) or np.all(col == col[0])
     assert (per_channel == 0).any()
+
+
+def test_einsum_f32_portable_mode_is_bit_equivalent():
+    """The portable lowering of f32-consuming bf16 dots (upcast operands)
+    must produce f32 results bit-equal to preferred_element_type=f32 —
+    bf16 embeds exactly in f32, so only the lowering changes, not the
+    math.  Pins the export-artifact numerics claim in ops/conv.py."""
+    from sensorium_tpu.ops.conv import einsum_f32, portable_dots
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(3, 4, 2, 8)), jnp.bfloat16)  # (B,T,G,C/G)
+    k = jnp.asarray(rng.normal(size=(2, 8, 5)), jnp.bfloat16)  # (G,C/G,P)
+
+    base = einsum_f32("btgc,gcp->btgp", x, k)
+    with portable_dots():
+        portable = einsum_f32("btgc,gcp->btgp", x, k)
+
+    assert base.dtype == portable.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(portable), np.asarray(base), rtol=1e-6, atol=1e-7
+    )
