@@ -251,7 +251,9 @@ def export_model_file(
     from sensorium_tpu.engine.model import load_model
 
     model_path = Path(model_path)
-    if mesh_data < 0:
+    if mesh_data < 0 or mesh_data == 1:
+        # 1 is rejected (not treated as no-mesh) so the API agrees with the
+        # CLI and a caller expecting a 1-device mesh artifact hears about it.
         raise ValueError(f"mesh_data must be 0 (no mesh) or >= 2, got {mesh_data}")
     if mesh_data > 1 and not trial:
         raise ValueError(
@@ -264,7 +266,7 @@ def export_model_file(
         from sensorium_tpu.infer.predictor import Predictor
 
         mesh = None
-        if mesh_data and mesh_data != 1:
+        if mesh_data:
             if len(jax.devices()) < mesh_data:
                 raise ValueError(
                     f"mesh_data={mesh_data} needs {mesh_data} local devices "

@@ -70,13 +70,16 @@ def softplus_beta(x: jax.Array, beta: float, threshold: float = 20.0) -> jax.Arr
 def softplus_learnable(x: jax.Array, beta: jax.Array) -> jax.Array:
     """softplus(beta * x) / beta with a TRAINABLE beta.
 
-    Same stabilization as the reference's ``LearnableSoftplus``
-    (README.md:121-133): ``(clamp(xb, 0) + log1p(exp(min(xb, -xb)))) / beta``
-    — no linear-region threshold; ``log1p(exp(-|xb|))`` underflows to zero
-    exactly where the fixed form would switch to its linear region.
+    Value-identical to the reference's numerically-stable
+    ``LearnableSoftplus`` (README.md:121-133),
+    ``(clamp(xb, 0) + log1p(exp(min(xb, -xb)))) / beta``, which is exactly
+    ``logaddexp(xb, 0) / beta``.  Unlike the fixed form there is no hard
+    linear-region threshold: ``log1p(exp(-|xb|))`` only underflows to zero
+    near ``|xb| ~ 88`` in f32 (between 20 and 88 the two forms differ by
+    up to ``exp(-20)/beta``), so at init this matches the fixed-beta model
+    to float tolerance, not bit-exactly.
     """
-    bx = beta * x
-    return (jnp.maximum(bx, 0.0) + jnp.log1p(jnp.exp(jnp.minimum(bx, -bx)))) / beta
+    return jnp.logaddexp(beta * x, 0.0) / beta
 
 
 def readout_group_sizes(num_neurons: int, groups: int) -> list[int]:

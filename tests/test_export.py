@@ -345,6 +345,14 @@ class TestExportTrial:
                 trial=True, src_hw=(12, 16), chunk_size=self.CHUNK,
                 length_bucket=self.BUCKET, mesh_data=-4, platforms=("cpu",),
             )
+        # mesh_data=1 is rejected like the CLI does — not silently treated
+        # as "no mesh" while the error text documents 1 as invalid.
+        with pytest.raises(ValueError, match=">= 2"):
+            export_model_file(
+                ckpt_path, out_path=tmp_path / "x.stablehlo", mouse_index=0,
+                trial=True, src_hw=(12, 16), chunk_size=self.CHUNK,
+                length_bucket=self.BUCKET, mesh_data=1, platforms=("cpu",),
+            )
         # The Python API must reject mesh_data on non-trial exports too
         # (the CLI guards it separately); silently writing a single-device
         # artifact would be a deploy-time surprise.

@@ -158,7 +158,11 @@ class TestLearnableSoftplus:
         from sensorium_tpu.models.dwiseneuro import softplus_learnable
 
         rng = np.random.default_rng(0)
-        x_np = rng.normal(0, 30, (4, 257)).astype(np.float32)  # incl. |bx|>20
+        x_np = rng.normal(0, 30, (4, 257)).astype(np.float32)
+        # Force the |bx| > 20 linear/underflow regime explicitly (beta=0.07
+        # needs |x| > 285.7, which N(0, 30) essentially never produces) and
+        # the deep-underflow tail past |bx| ~ 88 where log1p(exp) hits 0.
+        x_np[0, :4] = (500.0, -500.0, 1500.0, -1500.0)
         beta0 = 0.07
 
         xt = torch.tensor(x_np)
