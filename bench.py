@@ -49,9 +49,10 @@ def _flagship_params() -> dict:
     (single source of truth — the bench measures exactly what training
     runs), with diagnostic env overrides:
 
-    * SENSORIUM_REMAT=0 / SENSORIUM_REMAT_BLOCKS=k — remat A/B.  Measured
-      ladder on v5e (clips/s): all=98.8, k=4: 104.7, k=3: 109.1,
-      k=2: 111.8 (shipped default, ~1 GB headroom), k=1: 113.6, k=0: OOM.
+    * SENSORIUM_REMAT=0 / SENSORIUM_REMAT_BLOCKS=spec — remat A/B.  The
+      shipped config is the index-set ``(1,)`` (114.6 -> 116.4 after the
+      shortcut fix); full ladder in docs/PERF.md.  Remat-none still OOMs
+      post-shortcut-fix (17.91 of 15.75 GB hbm, re-measured 2026-08-19).
     * SENSORIUM_BENCH_NODROP=1 — dropout/droppath cost probe.
     """
     from importlib.machinery import SourceFileLoader
