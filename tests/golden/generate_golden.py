@@ -277,6 +277,109 @@ def main_gradients():
     print(f"Wrote {OUT_GRADS} ({OUT_GRADS.stat().st_size / 1e6:.2f} MB)")
 
 
+OUT_LOCKSTEP = Path(__file__).parent / "dwiseneuro_lockstep.npz"
+
+
+def main_lockstep():
+    """N-step lockstep training-dynamics golden: the reference's COMPOSED
+    engine chain run end-to-end in torch.
+
+    Implements, exactly and in order, the per-iteration semantics of
+    ``MouseModel.train_step`` (/root/reference/src/argus_models.py:43-71 —
+    zero_grad, ``deep_chunk`` into ``iter_size`` chunks, per-chunk forward
+    over all readouts + MicePoissonLoss/iter_size + backward, one optimizer
+    step, then EMA), ``ModelEma.update`` over every state-dict value
+    (/root/reference/src/ema.py:47-55, decay 0.999), and the LR plan of
+    ``scripts/train.py:122-134`` (warmup ``LambdaLR(x/N)`` stepped per
+    iteration, then a fresh ``CosineAnnealingLR(T_max, eta_min)``), with
+    AdamW weight_decay=0.05 — from a fixed init over a fixed batch stream
+    (``lockstep_common.make_batches``).  fp32, no AMP (TPU parity target is
+    the bf16-less math).
+
+    Records per-step losses and applied LRs plus the final model and EMA
+    state dicts, so the JAX engine can be held to the whole trajectory —
+    the error-compounding proof per-link tests cannot give.
+    """
+    from copy import deepcopy
+
+    import torch
+
+    import lockstep_common as lc
+
+    sys.path.insert(0, REFERENCE)
+    TorchDwiseNeuro = load_reference_module(
+        "ref_dwiseneuro", "src/models/dwiseneuro.py"
+    ).DwiseNeuro
+    init_weights = load_reference_module("ref_utils", "src/utils.py").init_weights
+    MicePoissonLoss = load_reference_module(
+        "ref_losses", "src/losses.py"
+    ).MicePoissonLoss
+
+    torch.manual_seed(0)
+    model = TorchDwiseNeuro(**SMALL_CFG)
+    init_weights(model)
+    sd0 = deepcopy(model.state_dict())
+
+    payload = {}
+    payload.update(flatten_state_dict(sd0, "sd0"))
+
+    for name, spec in lc.TRAJECTORIES.items():
+        num_steps = spec["warmup_steps"] + spec["cosine_steps"]
+        iter_size = spec["iter_size"]
+        inputs, targets, weights = lc.make_batches(num_steps, seed=31 + ord(name))
+
+        model.load_state_dict(deepcopy(sd0))
+        ema = deepcopy(model)
+        ema.eval()
+        loss_mod = MicePoissonLoss()
+        opt = torch.optim.AdamW(
+            model.parameters(), lr=lc.PEAK_LR, weight_decay=lc.WEIGHT_DECAY
+        )
+        # Warmup stage: argus LambdaLR(x / num_iterations) stepped per
+        # iteration (lr == 0 at iteration 0).
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lambda x: x / spec["warmup_steps"]
+        )
+        losses, lrs = [], []
+        for k in range(num_steps):
+            if k == spec["warmup_steps"]:
+                # Train stage: fresh CosineAnnealingLR from the peak.
+                sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+                    opt, T_max=spec["cosine_steps"], eta_min=lc.MIN_LR
+                )
+            model.train()
+            opt.zero_grad()
+            loss_value = 0.0
+            chunk_in = torch.from_numpy(inputs[k]).chunk(iter_size)
+            chunk_tg = [
+                [torch.from_numpy(t[k]).chunk(iter_size)[c] for t in targets]
+                for c in range(iter_size)
+            ]
+            chunk_w = torch.from_numpy(weights[k]).chunk(iter_size)
+            for c in range(iter_size):
+                prediction = model(chunk_in[c])
+                loss = loss_mod(prediction, (chunk_tg[c], chunk_w[c])) / iter_size
+                loss.backward()
+                loss_value += loss.item()
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            with torch.no_grad():
+                for e_v, m_v in zip(
+                    ema.state_dict().values(), model.state_dict().values()
+                ):
+                    e_v.copy_(lc.EMA_DECAY * e_v + (1.0 - lc.EMA_DECAY) * m_v)
+            sched.step()
+            losses.append(loss_value)
+
+        payload[f"{name}:losses"] = np.array(losses, np.float64)
+        payload[f"{name}:lrs"] = np.array(lrs, np.float64)
+        payload.update(flatten_state_dict(model.state_dict(), f"{name}:sdF"))
+        payload.update(flatten_state_dict(ema.state_dict(), f"{name}:emaF"))
+
+    np.savez_compressed(OUT_LOCKSTEP, **payload)
+    print(f"Wrote {OUT_LOCKSTEP} ({OUT_LOCKSTEP.stat().st_size / 1e6:.2f} MB)")
+
+
 def main():
     import torch
 
@@ -323,5 +426,7 @@ if __name__ == "__main__":
         main_import_proof()
     elif "--gradients" in sys.argv:
         main_gradients()
+    elif "--lockstep" in sys.argv:
+        main_lockstep()
     else:
         main()
