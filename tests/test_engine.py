@@ -604,6 +604,104 @@ class TestMouseModelFit:
         assert next_a == pytest.approx(next_b, rel=1e-5)
 
 
+class TestResumeEquivalence:
+    """train(N) == train(k) -> save -> load -> train(N-k): the property
+    that makes ``--resume`` (and preemption exit 75) actually safe.  A
+    state *roundtrip* cannot see RNG/step/schedule restoration bugs — only
+    continued training can (VERDICT r2 weak-spot 2).  The reference cannot
+    resume at all (EMA-weights-only checkpoints, SURVEY.md §5), so this
+    pins a capability beyond it."""
+
+    @staticmethod
+    def _fresh(seed):
+        from sensorium_tpu.engine.schedule import warmup_cosine
+
+        model = MouseModel(tiny_params())
+        model.set_ema(0.9)
+        # A real warmup+cosine plan makes the optimizer's step counter
+        # load-bearing: losing it on resume would change every later LR.
+        model.build_state(
+            seed=seed, learning_rate=warmup_cosine(1e-3, 1e-5, 2, 4)
+        )
+        return model
+
+    def _assert_states_equal(self, state_a, state_b):
+        flat_a = jax.tree_util.tree_flatten_with_path(jax.device_get(state_a))[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(jax.device_get(state_b))[0])
+        assert flat_a and len(flat_a) == len(flat_b)
+        for path, a in flat_a:
+            # Bitwise: same program over identical restored values — the
+            # checkpoint serializes exact float bits, so any difference is
+            # a restoration bug, not noise.
+            np.testing.assert_array_equal(
+                a, flat_b[path], err_msg=jax.tree_util.keystr(path)
+            )
+
+    def test_step_level_resume_matches_uninterrupted(self, tmp_path):
+        rng = np.random.default_rng(5)
+        batches = [random_batch(rng) for _ in range(6)]
+
+        continuous = self._fresh(seed=0)
+        losses_full = [float(continuous.train_step(b)) for b in batches]
+
+        first = self._fresh(seed=0)
+        for b in batches[:3]:
+            first.train_step(b)
+        first.save_train_state(tmp_path / "mid.ckpt", extra={"epoch": 0})
+
+        # Different init seed: every restored leaf (params, EMA, optimizer
+        # moments incl. schedule count, dropout RNG key, step) must come
+        # from the checkpoint, not survive from build_state.
+        resumed = self._fresh(seed=99)
+        resumed.load_train_state(tmp_path / "mid.ckpt")
+        losses_tail = [float(resumed.train_step(b)) for b in batches[3:]]
+
+        np.testing.assert_array_equal(losses_tail, losses_full[3:])
+        self._assert_states_equal(resumed.state, continuous.state)
+
+    def test_preemption_resume_at_epoch_boundary_matches(self, tmp_path):
+        """Through the REAL paths: fit + PreemptionHandler save at an epoch
+        boundary, then load + fit for the remaining epochs must equal one
+        uninterrupted fit.  (Mid-epoch preemption restarts the interrupted
+        epoch by design — the loader has no mid-epoch cursor — so exact
+        equivalence is an epoch-boundary property.)"""
+        from sensorium_tpu.engine.callbacks import Callback
+        from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
+
+        rng = np.random.default_rng(6)
+        loader = FakeLoader([random_batch(rng) for _ in range(3)])
+        save_path = tmp_path / "preempt.ckpt"
+
+        continuous = self._fresh(seed=0)
+        continuous.fit(loader, num_epochs=2)
+
+        class PreemptAfterFirstEpoch(Callback):
+            def __init__(self, handler):
+                self.handler = handler
+
+            def epoch_complete(self, state):
+                if state.global_epoch == 0:
+                    self.handler.triggered = True
+
+        interrupted = self._fresh(seed=0)
+        with PreemptionHandler() as handler:
+            with pytest.raises(TrainingPreempted):
+                interrupted.fit(
+                    loader,
+                    num_epochs=2,
+                    callbacks=[PreemptAfterFirstEpoch(handler)],
+                    preemption=handler,
+                    preemption_save_path=save_path,
+                )
+
+        resumed = self._fresh(seed=77)
+        extra = resumed.load_train_state(save_path)
+        assert extra["epoch"] == 0  # epoch 0 fully committed
+        resumed.fit(loader, num_epochs=1, start_epoch=1)
+
+        self._assert_states_equal(resumed.state, continuous.state)
+
+
 class TestDistillation:
     def test_teacher_fills_unlabeled_cells(self):
         student = MouseModel(tiny_params())
