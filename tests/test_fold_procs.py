@@ -35,6 +35,7 @@ def write_config_file(configs_dir: Path, name: str) -> None:
 
 
 @pytest.mark.baseline
+@pytest.mark.slow
 def test_train_cli_debug_nans_and_trace(tmp_path):
     """Sequential CLI run with the sanitizer + profiler flags wired."""
     data_dir = tmp_path / "data"
@@ -73,6 +74,7 @@ def test_train_cli_debug_nans_and_trace(tmp_path):
 
 
 @pytest.mark.baseline
+@pytest.mark.slow
 def test_fold_procs_parallel_training(tmp_path):
     data_dir = tmp_path / "data"
     (data_dir / "sensorium_all_2023").mkdir(parents=True)
@@ -137,6 +139,7 @@ def test_chip_pinning_env():
 
 
 @pytest.mark.baseline
+@pytest.mark.slow
 def test_fold_procs_sigterm_preemption(tmp_path):
     """SIGTERM to the orchestrating parent forwards to the fold children
     (each saves resume state) and exits 75 (EX_TEMPFAIL)."""

@@ -22,9 +22,12 @@ import pytest
 
 GOLDEN_PATH = Path(__file__).parent / "golden" / "import_proof_flagship.npz"
 
-pytestmark = pytest.mark.skipif(
-    not GOLDEN_PATH.exists(), reason="import-proof golden fixture not generated"
-)
+pytestmark = [
+    pytest.mark.slow,  # ~35-45 min: the production-shape import proof
+    pytest.mark.skipif(
+        not GOLDEN_PATH.exists(), reason="import-proof golden fixture not generated"
+    ),
+]
 
 from tests.test_model_parity_flagship import MODEL_KWARGS  # noqa: E402
 

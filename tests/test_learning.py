@@ -139,6 +139,7 @@ def jax_run(learnable_env):
     return first_corr, final_corr
 
 
+@pytest.mark.slow
 def test_training_learns_held_out_responses(jax_run):
     first_corr, final_corr = jax_run
     # Chance level is ~0 (measured |corr| < 0.01 at init); this recipe
@@ -191,6 +192,7 @@ def _reference_val_corr(model, val_loader, torch):
     return float(np.mean(corrs))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
 def test_torch_reference_stack_learns_the_same(learnable_env, jax_run):
     """End-to-end learning parity: the torch REFERENCE stack (its own

@@ -47,9 +47,12 @@ MODEL_KWARGS = dict(
     readout_pad_multiple=128,
 )
 
-pytestmark = pytest.mark.skipif(
-    not GOLDEN_PATH.exists(), reason="flagship golden fixture not generated"
-)
+pytestmark = [
+    pytest.mark.slow,  # flagship-shape compiles: minutes each
+    pytest.mark.skipif(
+        not GOLDEN_PATH.exists(), reason="flagship golden fixture not generated"
+    ),
+]
 
 
 def _procedural():

@@ -51,6 +51,7 @@ def run_cluster(env, port):
 
 
 @pytest.mark.baseline
+@pytest.mark.slow
 def test_multihost_two_process_training(tmp_path):
     data_dir = tmp_path / "data"
     (data_dir / "sensorium_all_2023").mkdir(parents=True)
