@@ -420,6 +420,73 @@ class TestOptimizerParity:
             {"lr": 0.1, "momentum": 0.9, "nesterov": True, "weight_decay": 1e-4},
         )
 
+    def test_rmsprop_matches_torch(self):
+        """torch keeps eps OUTSIDE the sqrt and zero-inits the square
+        average — both differ from optax defaults, so this pins the fixups."""
+        import torch
+
+        self._run_pair(
+            "RMSprop",
+            {"lr": 0.01, "alpha": 0.99, "eps": 1e-8, "weight_decay": 1e-4,
+             "momentum": 0.9},
+            torch.optim.RMSprop,
+            {"lr": 0.01, "alpha": 0.99, "eps": 1e-8, "weight_decay": 1e-4,
+             "momentum": 0.9},
+        )
+
+    def test_rmsprop_centered_matches_torch(self):
+        import torch
+
+        self._run_pair(
+            "RMSprop",
+            {"lr": 0.01, "centered": True},
+            torch.optim.RMSprop,
+            {"lr": 0.01, "centered": True},
+        )
+
+    def test_adagrad_matches_torch(self):
+        import torch
+
+        self._run_pair(
+            "Adagrad",
+            {"lr": 0.05, "weight_decay": 1e-4},
+            torch.optim.Adagrad,
+            {"lr": 0.05, "weight_decay": 1e-4},
+        )
+
+    def test_adamax_matches_torch(self):
+        import torch
+
+        self._run_pair(
+            "Adamax",
+            {"lr": 2e-3, "weight_decay": 1e-4},
+            torch.optim.Adamax,
+            {"lr": 2e-3, "weight_decay": 1e-4},
+        )
+
+    def test_radam_matches_torch(self):
+        import torch
+
+        self._run_pair(
+            "RAdam",
+            {"lr": 2e-3, "weight_decay": 1e-4},
+            torch.optim.RAdam,
+            {"lr": 2e-3, "weight_decay": 1e-4},
+        )
+
+    def test_nadam_matches_torch(self):
+        """torch NAdam anneals the momentum coefficient (psi=4e-3) — the
+        custom transform reproduces that trajectory (optax.nadam, which
+        follows Dozat's paper instead, diverges by ~3e-3 after 4 steps)."""
+        import torch
+
+        self._run_pair(
+            "NAdam",
+            {"lr": 2e-3, "weight_decay": 1e-4},
+            torch.optim.NAdam,
+            {"lr": 2e-3, "weight_decay": 1e-4},
+        )
+
 
 class TestEma:
     def test_update_math(self):
