@@ -145,6 +145,51 @@ class Checkpoint(Callback):
             state.logger.info(f"Model removed '{worst_path}'")
 
 
+class EarlyStopping(Callback):
+    """Stop fitting after ``patience`` epochs without improvement.
+
+    Capability parity with ``argus.callbacks.EarlyStopping`` (an engine
+    feature of the reference's training library, available to any config
+    even though the shipped recipes run fixed epoch counts).  ``better``:
+    ``"min"``, ``"max"`` or ``"auto"`` (min for loss-like monitors, max
+    otherwise — argus' inference rule).  Sets ``EngineState.stopped``,
+    which the fit loop honors at the epoch boundary.
+    """
+
+    def __init__(self, monitor: str = "val_loss", patience: int = 1,
+                 better: str = "auto"):
+        if better not in ("min", "max", "auto"):
+            raise ValueError(f"better must be min/max/auto, got {better!r}")
+        if better == "auto":
+            better = "min" if "loss" in monitor else "max"
+        self.monitor = monitor
+        self.patience = patience
+        self.better = better
+        self.best: float | None = None
+        self.wait = 0
+
+    def epoch_complete(self, state: EngineState) -> None:
+        if self.monitor not in state.metrics:
+            return
+        score = float(state.metrics[self.monitor])
+        improved = (
+            self.best is None
+            or (self.better == "max" and score > self.best)
+            or (self.better == "min" and score < self.best)
+        )
+        if improved:
+            self.best = score
+            self.wait = 0
+            return
+        self.wait += 1
+        if self.wait > self.patience:
+            state.stopped = True
+            state.logger.info(
+                f"Early stopping: no {self.monitor} improvement over "
+                f"{self.best:.6g} for {self.wait} epochs (patience {self.patience})"
+            )
+
+
 class Timer(Callback):
     """Per-epoch wall-clock + throughput logging (profiling aid the
 

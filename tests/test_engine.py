@@ -671,6 +671,46 @@ class TestMouseModelFit:
         assert next_a == pytest.approx(next_b, rel=1e-5)
 
 
+class TestEarlyStopping:
+    def test_auto_direction_and_patience(self):
+        from sensorium_tpu.engine.callbacks import EarlyStopping, EngineState
+
+        stopper = EarlyStopping(monitor="val_loss", patience=1)  # auto -> min
+        assert stopper.better == "min"
+        assert EarlyStopping(monitor="val_corr").better == "max"
+
+        state = EngineState(model=None)
+        for loss, expect_stopped in [(1.0, False), (0.5, False), (0.6, False),
+                                     (0.7, True)]:
+            state.metrics = {"val_loss": loss}
+            stopper.epoch_complete(state)
+            assert state.stopped is expect_stopped, loss
+        assert stopper.best == 0.5
+
+    def test_fit_loop_stops_at_boundary(self):
+        """Through the real fit loop: a never-improving monitored metric
+        ends training after 1 + patience + 1 epochs."""
+        from sensorium_tpu.engine.callbacks import Callback, EarlyStopping
+
+        class ConstantProbe(Callback):
+            epochs_run = 0
+
+            def epoch_complete(self, state):
+                state.metrics["probe"] = 1.0
+                ConstantProbe.epochs_run += 1
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        rng = np.random.default_rng(8)
+        loader = FakeLoader([random_batch(rng)])
+        model.fit(
+            loader,
+            num_epochs=6,
+            callbacks=[ConstantProbe(), EarlyStopping(monitor="probe", patience=1)],
+        )
+        assert ConstantProbe.epochs_run == 3  # best at 0, wait 1, stop after 2
+
+
 class TestResumeEquivalence:
     """train(N) == train(k) -> save -> load -> train(N-k): the property
     that makes ``--resume`` (and preemption exit 75) actually safe.  A
