@@ -162,7 +162,12 @@ class InvertedResidual3d(nn.Module):
         _, _, h, w, c = x.shape
         if self.spatial_stride > 1:
             if h % self.spatial_stride == 0 and w % self.spatial_stride == 0:
-                x = x[:, :, :: self.spatial_stride, :: self.spatial_stride]
+                # lax.slice, not x[:, :, ::s, ::s]: jnp's getitem lowers TWO
+                # strided axes in one expression to an iota-indexed gather
+                # (only XLA's gather simplifier saves it); the explicit slice
+                # is guaranteed to emit stablehlo.slice (tests/test_lowering.py).
+                s = self.spatial_stride
+                x = jax.lax.slice(x, (0,) * 5, x.shape, (1, 1, s, s, 1))
             else:
                 out_h = math.ceil(h / self.spatial_stride)
                 out_w = math.ceil(w / self.spatial_stride)
