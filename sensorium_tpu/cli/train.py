@@ -43,7 +43,7 @@ from sensorium_tpu.engine.callbacks import Checkpoint, LoggingToCSV, LoggingToFi
 from sensorium_tpu.engine.metrics import CorrelationMetric
 from sensorium_tpu.engine.model import MouseModel, load_model
 from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
-from sensorium_tpu.engine.schedule import warmup_cosine
+from sensorium_tpu.engine.schedule import build_stage_schedule
 from sensorium_tpu.parallel.mesh import create_mesh
 from sensorium_tpu.utils import get_best_model_path, get_lr
 
@@ -406,7 +406,10 @@ def train_mouse(
     train_iters = iters_per_epoch * stage_epochs.get("train", 0)
     peak_lr = argus_params["optimizer"][1]["lr"]
     min_lr = get_lr(config["min_base_lr"], config["batch_size"])
-    schedule = warmup_cosine(peak_lr, min_lr, warmup_iters, train_iters)
+    schedule = build_stage_schedule(
+        peak_lr, min_lr, warmup_iters, train_iters,
+        scheduler_spec=config.get("lr_scheduler"),
+    )
 
     model.build_state(seed=seed, learning_rate=schedule)
     start_epoch = 0

@@ -27,7 +27,7 @@ from sensorium_tpu.engine import checkpoint as ckpt
 from sensorium_tpu.engine.callbacks import Callback, EngineState, build_logger
 from sensorium_tpu.engine.losses import get_loss
 from sensorium_tpu.engine.metrics import CorrelationMetric
-from sensorium_tpu.engine.optimizers import get_optimizer
+from sensorium_tpu.engine.optimizers import clip_grad_norm, get_optimizer
 from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
 from sensorium_tpu.engine.state import TrainState
 from sensorium_tpu.engine.steps import make_predict_step, make_train_step, make_val_step
@@ -60,6 +60,9 @@ class MouseModel:
                 neuron_mask[m, :n] = 1.0
         self.loss_fn = get_loss(loss_name, loss_params, neuron_mask=neuron_mask)
         self.optimizer_spec = params.get("optimizer", ("AdamW", {"lr": 1e-3}))
+        # Optional global-norm gradient clipping (torch clip_grad_norm_
+        # semantics); 0/absent = off, matching the reference recipe.
+        self.grad_clip = float(params.get("grad_clip", 0.0) or 0.0)
         self.iter_size = int(params.get("iter_size", 1))
         self.mesh = mesh
         # A (data, model) mesh means DP+TP: parameter placement in
@@ -118,6 +121,8 @@ class MouseModel:
         opt_name, opt_params = self.optimizer_spec
         self.schedule = learning_rate if callable(learning_rate) else None
         self.tx = get_optimizer(opt_name, opt_params, learning_rate=learning_rate)
+        if self.grad_clip > 0.0:
+            self.tx = optax.chain(clip_grad_norm(self.grad_clip), self.tx)
 
         @jax.jit
         def make(example):

@@ -163,6 +163,32 @@ def _nadam(learning_rate, *, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0,
     )
 
 
+def clip_grad_norm(max_norm: float) -> "optax.GradientTransformation":
+    """``torch.nn.utils.clip_grad_norm_`` as an optax transform.
+
+    torch scales every gradient by ``max_norm / (global_l2_norm + 1e-6)``,
+    clamped to at most 1 (pytorch/torch/nn/utils/clip_grad.py) — note the
+    1e-6 in the denominator, which ``optax.clip_by_global_norm`` omits.
+    Chained BEFORE the optimizer when the config sets ``"grad_clip"``, so
+    the clip sees raw gradients exactly as torch's pre-``optimizer.step()``
+    call does.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 _OPTIMIZERS: dict[str, Callable] = {
     "AdamW": _adamw,
     "Adam": _adam,

@@ -5,6 +5,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import optax
 import numpy as np
 import pytest
 
@@ -152,6 +153,224 @@ class TestSchedule:
             actual = float(schedule(warmup_iters + step))
             assert math.isclose(actual, expected, rel_tol=1e-5, abs_tol=1e-9)
             sched.step()
+
+
+class TestSchedulerRegistry:
+    """Each named scheduler must track torch.optim.lr_scheduler step-for-step.
+
+    torch is stepped once per iteration; ``schedule(count)`` must equal the
+    lr torch reports *before* ``scheduler.step()`` at iteration ``count``
+    (the value the optimizer actually uses), for every count.
+    """
+
+    BASE = 7.5e-4
+
+    def _pin(self, name, params, torch_sched_factory, n_steps=50):
+        import torch
+
+        from sensorium_tpu.engine.schedule import get_scheduler
+
+        schedule = get_scheduler(name, self.BASE, params)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=self.BASE)
+        sched = torch_sched_factory(opt)
+        for step in range(n_steps):
+            expected = opt.param_groups[0]["lr"]
+            actual = float(schedule(step))
+            assert math.isclose(actual, expected, rel_tol=1e-5, abs_tol=1e-10), (
+                f"{name} diverged at step {step}: {actual} != {expected}"
+            )
+            opt.step()
+            sched.step()
+
+    def test_step_lr(self):
+        import torch
+
+        self._pin(
+            "StepLR", {"step_size": 7, "gamma": 0.5},
+            lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=7, gamma=0.5),
+        )
+
+    def test_multi_step_lr(self):
+        import torch
+
+        self._pin(
+            "MultiStepLR", {"milestones": [5, 12, 30], "gamma": 0.3},
+            lambda o: torch.optim.lr_scheduler.MultiStepLR(
+                o, milestones=[5, 12, 30], gamma=0.3
+            ),
+        )
+
+    def test_exponential_lr(self):
+        import torch
+
+        self._pin(
+            "ExponentialLR", {"gamma": 0.93},
+            lambda o: torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.93),
+        )
+
+    def test_linear_lr(self):
+        import torch
+
+        self._pin(
+            "LinearLR",
+            {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 18},
+            lambda o: torch.optim.lr_scheduler.LinearLR(
+                o, start_factor=0.25, end_factor=1.0, total_iters=18
+            ),
+        )
+
+    def test_constant_lr(self):
+        import torch
+
+        self._pin(
+            "ConstantLR", {"factor": 0.4, "total_iters": 9},
+            lambda o: torch.optim.lr_scheduler.ConstantLR(
+                o, factor=0.4, total_iters=9
+            ),
+        )
+
+    def test_polynomial_lr(self):
+        import torch
+
+        self._pin(
+            "PolynomialLR", {"total_iters": 33, "power": 2.0},
+            lambda o: torch.optim.lr_scheduler.PolynomialLR(
+                o, total_iters=33, power=2.0
+            ),
+            n_steps=33,
+        )
+
+    def test_cosine_annealing_lr(self):
+        import torch
+
+        self._pin(
+            "CosineAnnealingLR", {"T_max": 40, "eta_min": 1e-6},
+            lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(
+                o, T_max=40, eta_min=1e-6
+            ),
+            n_steps=40,
+        )
+
+    def test_cosine_warm_restarts_tmult_1(self):
+        import torch
+
+        self._pin(
+            "CosineAnnealingWarmRestarts", {"T_0": 8, "eta_min": 1e-6},
+            lambda o: torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+                o, T_0=8, eta_min=1e-6
+            ),
+            n_steps=60,
+        )
+
+    def test_cosine_warm_restarts_tmult_2(self):
+        """Geometric restarts: boundaries at 5, 15, 35, 75 — the float-log
+        cycle index plus boundary correction must hit every restart."""
+        import torch
+
+        self._pin(
+            "CosineAnnealingWarmRestarts",
+            {"T_0": 5, "T_mult": 2, "eta_min": 2e-5},
+            lambda o: torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+                o, T_0=5, T_mult=2, eta_min=2e-5
+            ),
+            n_steps=80,
+        )
+
+    def test_one_cycle_cos(self):
+        import torch
+
+        self._pin(
+            "OneCycleLR",
+            {"max_lr": 3e-3, "total_steps": 48, "pct_start": 0.3},
+            lambda o: torch.optim.lr_scheduler.OneCycleLR(
+                o, max_lr=3e-3, total_steps=48, pct_start=0.3
+            ),
+            n_steps=48,
+        )
+
+    def test_one_cycle_linear(self):
+        import torch
+
+        self._pin(
+            "OneCycleLR",
+            {
+                "max_lr": 2e-3, "total_steps": 36, "pct_start": 0.25,
+                "anneal_strategy": "linear", "div_factor": 10.0,
+                "final_div_factor": 100.0,
+            },
+            lambda o: torch.optim.lr_scheduler.OneCycleLR(
+                o, max_lr=2e-3, total_steps=36, pct_start=0.25,
+                anneal_strategy="linear", div_factor=10.0,
+                final_div_factor=100.0,
+            ),
+            n_steps=36,
+        )
+
+    def test_unknown_scheduler_raises(self):
+        from sensorium_tpu.engine.schedule import get_scheduler
+
+        with pytest.raises(KeyError, match="Unknown lr scheduler"):
+            get_scheduler("Nope", 1e-3, {})
+
+    def test_build_stage_schedule_default_is_reference_plan(self):
+        from sensorium_tpu.engine.schedule import build_stage_schedule, warmup_cosine
+
+        built = build_stage_schedule(1e-3, 1e-5, 10, 40)
+        ref = warmup_cosine(1e-3, 1e-5, 10, 40)
+        for step in (0, 5, 10, 25, 49, 60):
+            assert float(built(step)) == float(ref(step))
+
+    def test_build_stage_schedule_named_with_train_iters_placeholder(self):
+        import torch
+
+        from sensorium_tpu.engine.schedule import build_stage_schedule
+
+        warmup, train = 6, 30
+        built = build_stage_schedule(
+            self.BASE, 0.0, warmup, train,
+            scheduler_spec=("CosineAnnealingLR", {"T_max": "train_iters"}),
+        )
+        # Warmup ramp 0 -> peak...
+        for step in range(warmup):
+            assert math.isclose(
+                float(built(step)), self.BASE * step / warmup,
+                rel_tol=1e-5, abs_tol=1e-9,
+            )
+        # ...then torch CosineAnnealingLR with T_max resolved to 30.
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=self.BASE)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=train)
+        for step in range(train):
+            expected = opt.param_groups[0]["lr"]
+            assert math.isclose(
+                float(built(warmup + step)), expected, rel_tol=1e-5, abs_tol=1e-10
+            )
+            sched.step()
+
+    def test_schedules_are_jittable(self):
+        """Every registry entry must trace under jit (the engine folds the
+        schedule into the compiled train step)."""
+        import jax
+
+        from sensorium_tpu.engine.schedule import _SCHEDULERS, get_scheduler
+
+        cases = {
+            "StepLR": {"step_size": 3},
+            "MultiStepLR": {"milestones": [2, 5]},
+            "ExponentialLR": {"gamma": 0.9},
+            "LinearLR": {"total_iters": 4},
+            "ConstantLR": {"total_iters": 4},
+            "PolynomialLR": {"total_iters": 4},
+            "CosineAnnealingLR": {"T_max": 6},
+            "CosineAnnealingWarmRestarts": {"T_0": 3, "T_mult": 2},
+            "OneCycleLR": {"total_steps": 10},
+        }
+        assert set(cases) == set(_SCHEDULERS)
+        for name, params in cases.items():
+            sched = get_scheduler(name, 1e-3, params)
+            val = jax.jit(sched)(jnp.asarray(2, jnp.int32))
+            assert float(val) > 0.0
 
 
 class TestCorrelationMetric:
@@ -338,6 +557,70 @@ class TestStockLossRegistry:
 
         with pytest.raises(KeyError):
             get_loss("NoSuchLoss", {})
+
+
+class TestGradClip:
+    """``grad_clip`` must reproduce torch.nn.utils.clip_grad_norm_ exactly
+    (incl. the +1e-6 in the scale denominator that optax's own clip omits)."""
+
+    def test_transform_matches_torch_above_and_below_threshold(self):
+        import torch
+
+        from sensorium_tpu.engine.optimizers import clip_grad_norm, get_optimizer
+
+        max_norm, lr = 0.5, 0.1
+        rng = np.random.default_rng(11)
+        params0 = {
+            "w": rng.normal(size=(6, 3)).astype(np.float32),
+            "b": rng.normal(size=(3,)).astype(np.float32),
+        }
+        # First grad far above the threshold, second far below: both the
+        # clipped and the pass-through branch are exercised.
+        grads = [
+            {"w": rng.normal(size=(6, 3)).astype(np.float32) * 10.0,
+             "b": rng.normal(size=(3,)).astype(np.float32) * 10.0},
+            {"w": rng.normal(size=(6, 3)).astype(np.float32) * 1e-3,
+             "b": rng.normal(size=(3,)).astype(np.float32) * 1e-3},
+        ]
+
+        tx = optax.chain(clip_grad_norm(max_norm), get_optimizer("SGD", {"lr": lr}))
+        params = jax.tree.map(jnp.asarray, params0)
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update(jax.tree.map(jnp.asarray, g), state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        tparams = {
+            k: torch.nn.Parameter(torch.as_tensor(v.copy()))
+            for k, v in params0.items()
+        }
+        opt = torch.optim.SGD(tparams.values(), lr=lr)
+        for g in grads:
+            opt.zero_grad()
+            for k in tparams:
+                tparams[k].grad = torch.as_tensor(g[k])
+            torch.nn.utils.clip_grad_norm_(tparams.values(), max_norm)
+            opt.step()
+
+        for k in params0:
+            np.testing.assert_allclose(
+                np.asarray(params[k]), tparams[k].detach().numpy(), rtol=1e-6
+            )
+
+    def test_model_config_key_wires_clipping(self):
+        """A ``grad_clip`` config key bounds the SGD update norm at lr*max."""
+        params = tiny_params()
+        params["optimizer"] = ("SGD", {"lr": 0.1})
+        params["grad_clip"] = 0.25
+        model = MouseModel(params)
+        model.build_state(seed=0, learning_rate=0.1)
+
+        big = jax.tree.map(
+            lambda p: jnp.full_like(p, 100.0), model.state.params
+        )
+        updates, _ = model.tx.update(big, model.state.opt_state, model.state.params)
+        update_norm = float(optax.global_norm(updates))
+        assert math.isclose(update_norm, 0.1 * 0.25, rel_tol=1e-4)
 
 
 class TestOptimizerParity:
