@@ -39,7 +39,13 @@ from sensorium_tpu.data.loader import MiceDataLoader
 from sensorium_tpu.data.mixers import CutMix
 from sensorium_tpu.data.mouse_data import get_mouse_data
 from sensorium_tpu.data.responses import get_responses_processor
-from sensorium_tpu.engine.callbacks import Checkpoint, LoggingToCSV, LoggingToFile, Timer
+from sensorium_tpu.engine.callbacks import (
+    Checkpoint,
+    LoggingToCSV,
+    LoggingToFile,
+    LoggingToJSONL,
+    Timer,
+)
 from sensorium_tpu.engine.metrics import CorrelationMetric
 from sensorium_tpu.engine.model import MouseModel, load_model
 from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
@@ -455,6 +461,7 @@ def train_mouse(
                 callbacks += [
                     LoggingToFile(save_dir / "log.txt", append=True),
                     LoggingToCSV(save_dir / "log.csv", append=True),
+                    LoggingToJSONL(save_dir / "log.jsonl", append=True),
                 ]
             if stage != "warmup" and is_primary:
                 callbacks.append(

@@ -96,6 +96,39 @@ class LoggingToCSV(Callback):
         self._initialized = True
 
 
+class LoggingToJSONL(Callback):
+    """Append one structured JSON record per epoch to ``log.jsonl``.
+
+    The machine-readable observability channel SURVEY.md §5 plans alongside
+    the reference's human-readable ``log.txt``/``log.csv`` contract
+    (scripts/train.py:116-117): same metric keys as the CSV row, plus a
+    wall-clock timestamp, so dashboards and scripts can tail training
+    without parsing log lines.  Records are written with ``flush`` +
+    line-buffered appends, so a concurrent reader never sees a torn line.
+    """
+
+    def __init__(self, file_path, append: bool = True):
+        self.file_path = Path(file_path)
+        self._initialized = False
+        self.append = append
+
+    def epoch_complete(self, state: EngineState) -> None:
+        import json
+
+        self.file_path.parent.mkdir(parents=True, exist_ok=True)
+        record = {
+            "time": time.time(),
+            "epoch": state.global_epoch,
+            "stage": state.stage,
+            **{k: float(v) for k, v in state.metrics.items()},
+        }
+        mode = "a" if (self.append or self._initialized) else "w"
+        with open(self.file_path, mode) as handle:
+            handle.write(json.dumps(record) + "\n")
+            handle.flush()
+        self._initialized = True
+
+
 class Checkpoint(Callback):
     """Best-k checkpointing with the reference's filename/score contract.
 

@@ -954,6 +954,42 @@ class TestMouseModelFit:
         assert next_a == pytest.approx(next_b, rel=1e-5)
 
 
+class TestLoggingToJSONL:
+    def test_one_valid_record_per_epoch(self, tmp_path):
+        import json
+
+        from sensorium_tpu.engine.callbacks import EngineState, LoggingToJSONL
+
+        path = tmp_path / "log.jsonl"
+        callback = LoggingToJSONL(path)
+        state = EngineState(model=None, stage="train")
+        for epoch, (loss, corr) in enumerate([(1.5, 0.01), (1.2, 0.05)]):
+            state.global_epoch = epoch
+            state.metrics = {"train_loss": loss, "val_corr": corr}
+            callback.epoch_complete(state)
+
+        records = [json.loads(line) for line in path.read_text().splitlines()]
+        assert len(records) == 2
+        assert records[1]["epoch"] == 1
+        assert records[1]["val_corr"] == pytest.approx(0.05)
+        assert records[0]["stage"] == "train"
+        assert records[0]["time"] > 0
+
+    def test_append_false_truncates(self, tmp_path):
+        from sensorium_tpu.engine.callbacks import EngineState, LoggingToJSONL
+
+        path = tmp_path / "log.jsonl"
+        path.write_text('{"stale": true}\n')
+        callback = LoggingToJSONL(path, append=False)
+        state = EngineState(model=None)
+        state.metrics = {"train_loss": 1.0}
+        callback.epoch_complete(state)
+        state.global_epoch = 1
+        callback.epoch_complete(state)
+        lines = path.read_text().splitlines()
+        assert len(lines) == 2 and "stale" not in lines[0]
+
+
 class TestEarlyStopping:
     def test_auto_direction_and_patience(self):
         from sensorium_tpu.engine.callbacks import EarlyStopping, EngineState

@@ -90,6 +90,16 @@ class TestTrainCLI:
         assert (save_dir / "train_state.ckpt").exists()
         assert (save_dir / "log.txt").exists()
         assert (save_dir / "log.csv").exists()
+        # Structured observability channel (SURVEY §5): one JSON record per
+        # epoch, same metric keys as the CSV contract.
+        import json
+
+        records = [
+            json.loads(line)
+            for line in (save_dir / "log.jsonl").read_text().splitlines()
+        ]
+        assert records and all("epoch" in r and "stage" in r for r in records)
+        assert any("val_corr" in r for r in records)
 
     def test_resume_skips_completed_stages(self, trained_fold, capsys):
         from sensorium_tpu.cli.train import train_mouse
