@@ -235,7 +235,7 @@ class MouseModel:
         """
         if self.mesh is None:
             return inputs, targets, weights
-        num_data = self.mesh.shape.get("data", 1)
+        num_data = mesh_lib.data_extent(self.mesh)
         remainder = (-inputs.shape[0]) % num_data
         if remainder == 0:
             return inputs, targets, weights
@@ -251,7 +251,7 @@ class MouseModel:
     def train_step(self, batch) -> float:
         step = self._ensure_train_step()
         if self.mesh is not None:
-            num_data = self.mesh.shape.get("data", 1)
+            num_data = mesh_lib.data_extent(self.mesh)
             if batch.inputs.shape[0] % num_data:
                 raise ValueError(
                     f"Train batch of {batch.inputs.shape[0]} does not divide "
@@ -426,12 +426,23 @@ class MouseModel:
             "batch_stats": jax.device_get(self.state.eval_batch_stats),
         }
 
-    def save(self, file_path) -> None:
-        """Write an inference checkpoint of the EMA weights."""
-        ckpt.save_model_checkpoint(file_path, self.params, self.eval_variables())
+    def save(self, file_path, background: bool = False) -> None:
+        """Write an inference checkpoint of the EMA weights.
 
-    def save_train_state(self, file_path, extra: dict | None = None) -> None:
-        ckpt.save_train_state(file_path, self.state, self.params, extra=extra)
+        ``background=True``: serialization + disk write happen off-thread
+        (``engine.checkpoint._AsyncWriter``); the EMA weights are fetched to
+        host before returning, so continued training cannot corrupt the save.
+        """
+        ckpt.save_model_checkpoint(
+            file_path, self.params, self.eval_variables(), background=background
+        )
+
+    def save_train_state(
+        self, file_path, extra: dict | None = None, background: bool = False
+    ) -> None:
+        ckpt.save_train_state(
+            file_path, self.state, self.params, extra=extra, background=background
+        )
 
     def load_train_state(self, file_path) -> dict:
         if self.state is None:

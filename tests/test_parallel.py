@@ -11,7 +11,9 @@ from sensorium_tpu.data.datasets import MiceBatch
 from sensorium_tpu.engine import MouseModel
 from sensorium_tpu.parallel.mesh import (
     batch_sharding,
+    create_hybrid_mesh,
     create_mesh,
+    data_extent,
     replicate_tree,
 )
 
@@ -271,6 +273,85 @@ class TestTensorParallel:
         }
         loss = float(resumed.train_step(batch))
         assert np.isfinite(loss)
+
+
+class TestHybridMesh:
+    """Multi-slice ``(replica, data, model)`` topology on the virtual mesh.
+
+    On real metal the ``replica`` axis crosses DCN between ICI slices
+    (``mesh_utils.create_hybrid_device_mesh``); logically it is one more
+    batch-sharding axis, so a hybrid train step must reproduce single-device
+    math exactly like the flat-DP test above."""
+
+    @pytest.fixture(scope="class")
+    def hybrid(self):
+        return create_hybrid_mesh(num_slices=2, num_data=2, num_model=2)
+
+    def test_mesh_shape_and_extent(self, hybrid):
+        assert dict(hybrid.shape) == {"replica": 2, "data": 2, "model": 2}
+        assert data_extent(hybrid) == 4
+        flat = create_mesh(num_data=4, num_model=2)
+        assert data_extent(flat) == 4
+
+    def test_batch_shards_over_replica_and_data(self, hybrid):
+        x = np.zeros((8, 3), np.float32)
+        sharded = jax.device_put(x, batch_sharding(hybrid))
+        # 8 rows over replica*data = 4 ways -> 2-row shards.
+        assert {s.data.shape for s in sharded.addressable_shards} == {(2, 3)}
+
+    def test_hybrid_train_step_matches_single_device(self, hybrid):
+        """DP over {replica:2, data:2} with TP {model:2}: same losses, BN
+        stats seeing the GLOBAL batch, params matching an unsharded run."""
+        params = tiny_params()
+        params["optimizer"] = ("SGD", {"lr": 1e-3})
+        rng = np.random.default_rng(21)
+        batch = random_batch(rng, batch=8)
+        batch.inputs[:4] *= 3.0  # per-shard statistics must differ
+
+        single = MouseModel(params)
+        single.build_state(seed=0, learning_rate=1e-3)
+        loss_single = float(single.train_step(batch))
+
+        sharded = MouseModel(params, mesh=hybrid)
+        sharded.set_ema(0.9)
+        sharded.build_state(seed=0, learning_rate=1e-3)
+        assert sharded.tensor_parallel  # model axis applies on hybrid meshes
+        loss_sharded = float(sharded.train_step(batch))
+
+        assert loss_single == pytest.approx(loss_sharded, rel=1e-5)
+        for tree_s, tree_m, atol_dw in [
+            (single.state.params, sharded.state.params, 5e-3),
+            (single.state.batch_stats, sharded.state.batch_stats, 1e-3),
+        ]:
+            flat_s = jax.tree_util.tree_flatten_with_path(jax.device_get(tree_s))[0]
+            flat_m = dict(
+                jax.tree_util.tree_flatten_with_path(jax.device_get(tree_m))[0]
+            )
+            for path, a in flat_s:
+                name = jax.tree_util.keystr(path)
+                if "dw_kernel" in name:  # pre-BN cancellation noise, see above
+                    np.testing.assert_allclose(a, flat_m[path], atol=atol_dw, err_msg=name)
+                else:
+                    np.testing.assert_allclose(
+                        a, flat_m[path], rtol=1e-4, atol=1e-4, err_msg=name
+                    )
+
+    def test_hybrid_ragged_val_batch_pads_to_joint_extent(self, hybrid):
+        rng = np.random.default_rng(22)
+        batch = random_batch(rng, batch=6)  # 6 % 4 != 0
+        model = MouseModel(tiny_params(), mesh=hybrid)
+        model.build_state(seed=0, learning_rate=1e-3)
+        _, prediction, *_ = model.val_step(batch)
+        assert prediction.shape[1] == 8  # padded to replica*data
+
+    def test_hybrid_tp_placement(self, hybrid):
+        model = MouseModel(tiny_params(), mesh=hybrid)
+        model.build_state(seed=0, learning_rate=1e-3)
+        kernel = model.state.params["readout_kernel"]
+        full = kernel.shape
+        assert _model_axis_shards(kernel) == {
+            (full[0], full[1], full[2], full[3] // 2)
+        }
 
 
 class TestShardedPredictor:
