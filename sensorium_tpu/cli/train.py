@@ -46,11 +46,12 @@ from sensorium_tpu.engine.callbacks import (
     LoggingToJSONL,
     Timer,
 )
+from sensorium_tpu.engine import checkpoint as ckpt_module
 from sensorium_tpu.engine.metrics import CorrelationMetric
 from sensorium_tpu.engine.model import MouseModel, load_model
 from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
 from sensorium_tpu.engine.schedule import build_stage_schedule
-from sensorium_tpu.parallel.mesh import create_mesh
+from sensorium_tpu.parallel.mesh import create_hybrid_mesh, create_mesh
 from sensorium_tpu.utils import get_best_model_path, get_lr
 
 
@@ -59,11 +60,16 @@ def parse_arguments():
     parser.add_argument("-e", "--experiment", required=True, type=str)
     parser.add_argument("-f", "--folds", default="all", type=str)
     parser.add_argument("--mesh", default="data", type=str,
-                        help="mesh axes: 'data' (batch DP) or 'data,model' (DP+TP)")
+                        help="mesh axes: 'data' (batch DP), 'data,model' (DP+TP), "
+                             "or 'replica,data[,model]' (multi-slice: DP across "
+                             "slices over DCN, DP/TP within each slice on ICI)")
     parser.add_argument("--no-mesh", action="store_true",
                         help="single-device mode (no mesh)")
     parser.add_argument("--resume", action="store_true",
                         help="resume each fold from its train_state.ckpt")
+    parser.add_argument("--async-checkpoint", action="store_true",
+                        help="write checkpoints in a background thread (the "
+                             "next epoch starts while the previous save hits disk)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--debug-nans", action="store_true",
                         help="numerical sanitizer: raise (with traceback) at "
@@ -245,6 +251,8 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                 ]
                 if args.resume:
                     cmd.append("--resume")
+                if args.async_checkpoint:
+                    cmd.append("--async-checkpoint")
                 if args.debug_nans:
                     cmd.append("--debug-nans")
                 if args.trace and fold == folds_splits[0]:
@@ -325,16 +333,24 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
 
 
 def build_mesh(args):
-    if args.mesh not in ("data", "data,model"):
+    valid = ("data", "data,model", "replica,data", "replica,data,model")
+    if args.mesh not in valid:
         # A typo must not silently fall back to a different sharding plan.
         raise SystemExit(
-            f"--mesh {args.mesh!r}: expected 'data' (batch DP) or "
-            "'data,model' (DP + tensor parallelism)"
+            f"--mesh {args.mesh!r}: expected 'data' (batch DP), 'data,model' "
+            "(DP + tensor parallelism), or a 'replica,...'-prefixed variant "
+            "(multi-slice: DP over DCN between slices, DP/TP on ICI within)"
         )
     if args.no_mesh or len(jax.devices()) == 1:
         return None
-    if args.mesh == "data,model":
-        num_model = 2 if len(jax.devices()) % 2 == 0 else 1
+    num_model = (
+        2
+        if "model" in args.mesh and len(jax.devices()) % 2 == 0
+        else 1
+    )
+    if args.mesh.startswith("replica"):
+        return create_hybrid_mesh(num_model=num_model)
+    if num_model > 1:
         return create_mesh(num_model=num_model)
     return create_mesh()
 
@@ -347,6 +363,7 @@ def train_mouse(
     mesh=None,
     seed: int = 0,
     resume: bool = False,
+    async_checkpoint: bool = False,
 ) -> MouseModel:
     config = copy.deepcopy(config)
     argus_params = config["argus_params"]
@@ -469,6 +486,7 @@ def train_mouse(
                         save_dir,
                         file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
                         max_saves=1,
+                        background=async_checkpoint,
                     )
                 )
             stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
@@ -493,6 +511,9 @@ def train_mouse(
                     save_dir / "train_state.ckpt" if is_primary else None
                 ),
             )
+    # Join any in-flight background checkpoint write before the fold is
+    # declared done (prediction immediately reads the best checkpoint back).
+    ckpt_module.flush_pending_saves()
     return model
 
 
@@ -581,6 +602,7 @@ def main():
                 train_mouse(
                     config, fold_dir, train_splits, val_splits,
                     mesh=mesh, seed=args.seed, resume=args.resume,
+                    async_checkpoint=args.async_checkpoint,
                 )
         except TrainingPreempted as preempted:
             print(f"Preempted: {preempted}. Rerun with --resume to continue.")

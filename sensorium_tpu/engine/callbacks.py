@@ -145,6 +145,7 @@ class Checkpoint(Callback):
         monitor: str = "val_corr",
         better: str = "max",
         save_train_state: bool = True,
+        background: bool = False,
     ):
         self.save_dir = Path(save_dir)
         self.file_format = file_format
@@ -152,6 +153,10 @@ class Checkpoint(Callback):
         self.monitor = monitor
         self.better = better
         self.save_train_state = save_train_state
+        # background=True: serialization + disk writes run off-thread so the
+        # next epoch starts while the checkpoint is still hitting disk (the
+        # weights are host-fetched synchronously — see engine.checkpoint).
+        self.background = background
         self._saved: list[tuple[float, Path]] = []
 
     def epoch_complete(self, state: EngineState) -> None:
@@ -161,12 +166,13 @@ class Checkpoint(Callback):
         self.save_dir.mkdir(parents=True, exist_ok=True)
         fields = {"epoch": state.global_epoch, self.monitor: score, **state.metrics}
         file_path = self.save_dir / self.file_format.format(**fields)
-        state.model.save(file_path)
+        state.model.save(file_path, background=self.background)
         state.logger.info(f"Model saved to '{file_path}'")
         if self.save_train_state:
             state.model.save_train_state(
                 self.save_dir / "train_state.ckpt",
                 extra={"epoch": state.global_epoch, self.monitor: score},
+                background=self.background,
             )
 
         self._saved.append((score, file_path))
@@ -174,6 +180,13 @@ class Checkpoint(Callback):
         self._saved.sort(key=lambda item: item[0], reverse=reverse)
         while len(self._saved) > self.max_saves:
             _, worst_path = self._saved.pop()
+            if self.background and worst_path == file_path:
+                # The epoch's own save turned out to be the worst: its
+                # background write may still be in flight — join it before
+                # unlinking, or the atomic rename would resurrect the file.
+                from sensorium_tpu.engine.checkpoint import flush_pending_saves
+
+                flush_pending_saves()
             worst_path.unlink(missing_ok=True)
             state.logger.info(f"Model removed '{worst_path}'")
 

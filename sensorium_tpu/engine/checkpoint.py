@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -31,7 +32,66 @@ MODEL_CHECKPOINT_VERSION = 1
 
 
 def _to_host(tree):
+    # Enqueue every device->host DMA before blocking on any of them, so the
+    # leaves transfer concurrently instead of serially.
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class _AsyncWriter:
+    """One in-flight background checkpoint write.
+
+    The device->host fetch always happens on the caller's thread (the train
+    step donates its state buffers, so a deferred fetch would race buffer
+    invalidation); only serialization + the fsync'd atomic write — the
+    host-side half of a multi-GB save — moves off the training loop.  At
+    most one write is in flight: starting the next save (or any load) joins
+    the previous one first, preserving write ordering.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+        self._lock = threading.Lock()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) completes; re-raise its error."""
+        with self._lock:
+            thread, self._thread = self._thread, None
+            if thread is not None:
+                thread.join()
+            error, self._error = self._error, None
+        if error is not None:
+            raise error
+
+    def submit(self, path: Path, serialize) -> None:
+        self.wait()
+
+        def run():
+            try:
+                _atomic_write(path, serialize())
+            except BaseException as exc:  # surfaced on the next wait()
+                self._error = exc
+
+        with self._lock:
+            self._thread = threading.Thread(
+                target=run, name=f"ckpt-write-{path.name}", daemon=True
+            )
+            self._thread.start()
+
+
+_writer = _AsyncWriter()
+
+
+def flush_pending_saves() -> None:
+    """Join any in-flight background checkpoint write (no-op when idle).
+
+    Call before process exit and before reading back a just-written file.
+    Raises the background write's exception, if it failed.
+    """
+    _writer.wait()
 
 
 def _atomic_write(path: Path, payload: bytes) -> None:
@@ -43,8 +103,17 @@ def _atomic_write(path: Path, payload: bytes) -> None:
     os.replace(tmp_path, path)
 
 
-def save_model_checkpoint(path, argus_params: dict, nn_state: dict, model_name="MouseModel"):
-    """Serialize an inference checkpoint (EMA weights + config)."""
+def save_model_checkpoint(
+    path, argus_params: dict, nn_state: dict, model_name="MouseModel",
+    background: bool = False,
+):
+    """Serialize an inference checkpoint (EMA weights + config).
+
+    ``background=True`` moves serialization + the fsync'd write off the
+    calling thread (the device->host fetch stays synchronous — see
+    ``_AsyncWriter``); training resumes while the previous epoch's
+    checkpoint is still hitting disk.
+    """
     payload = {
         "version": MODEL_CHECKPOINT_VERSION,
         "model_name": model_name,
@@ -52,10 +121,15 @@ def save_model_checkpoint(path, argus_params: dict, nn_state: dict, model_name="
         "params": json.loads(json.dumps(argus_params)),
         "nn_state": _to_host(nn_state),
     }
-    _atomic_write(Path(path), serialization.msgpack_serialize(payload))
+    if background:
+        _writer.submit(Path(path), lambda: serialization.msgpack_serialize(payload))
+    else:
+        _writer.wait()
+        _atomic_write(Path(path), serialization.msgpack_serialize(payload))
 
 
 def load_model_checkpoint(path) -> dict[str, Any]:
+    flush_pending_saves()
     with open(path, "rb") as handle:
         payload = serialization.msgpack_restore(handle.read())
     if payload.get("version") != MODEL_CHECKPOINT_VERSION:
@@ -63,7 +137,10 @@ def load_model_checkpoint(path) -> dict[str, Any]:
     return payload
 
 
-def save_train_state(path, state, argus_params: dict, extra: dict | None = None):
+def save_train_state(
+    path, state, argus_params: dict, extra: dict | None = None,
+    background: bool = False,
+):
     """Serialize the full training state for resume (params + opt + RNG)."""
     payload = {
         "version": MODEL_CHECKPOINT_VERSION,
@@ -71,11 +148,16 @@ def save_train_state(path, state, argus_params: dict, extra: dict | None = None)
         "state": _to_host(serialization.to_state_dict(state)),
         "extra": extra or {},
     }
-    _atomic_write(Path(path), serialization.msgpack_serialize(payload))
+    if background:
+        _writer.submit(Path(path), lambda: serialization.msgpack_serialize(payload))
+    else:
+        _writer.wait()
+        _atomic_write(Path(path), serialization.msgpack_serialize(payload))
 
 
 def load_train_state(path, state_template):
     """Restore a training state into the structure of ``state_template``."""
+    flush_pending_saves()
     with open(path, "rb") as handle:
         payload = serialization.msgpack_restore(handle.read())
     state = serialization.from_state_dict(state_template, payload["state"])

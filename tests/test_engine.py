@@ -954,6 +954,91 @@ class TestMouseModelFit:
         assert next_a == pytest.approx(next_b, rel=1e-5)
 
 
+class TestAsyncCheckpoint:
+    """Background checkpoint writes must be bitwise-equal to sync writes,
+    safe against the train step's buffer donation, ordered before any read,
+    and must surface write errors instead of swallowing them."""
+
+    def test_background_save_bitwise_equals_sync_and_survives_donation(self, tmp_path):
+        from sensorium_tpu.engine.checkpoint import flush_pending_saves
+
+        model = MouseModel(tiny_params())
+        model.set_ema(0.9)
+        model.build_state(seed=0, learning_rate=1e-3)
+        rng = np.random.default_rng(7)
+        batch = random_batch(rng)
+        model.train_step(batch)
+
+        model.save(tmp_path / "sync.ckpt")
+        model.save(tmp_path / "async.ckpt", background=True)
+        model.save_train_state(tmp_path / "sync_state.ckpt", extra={"epoch": 1})
+        model.save_train_state(
+            tmp_path / "async_state.ckpt", extra={"epoch": 1}, background=True
+        )
+        # Donate the state buffers while the background write is (possibly)
+        # still serializing: the async payload was host-fetched up front, so
+        # this must not corrupt it.
+        model.train_step(batch)
+        flush_pending_saves()
+
+        assert (tmp_path / "async.ckpt").read_bytes() == (
+            tmp_path / "sync.ckpt"
+        ).read_bytes()
+        assert (tmp_path / "async_state.ckpt").read_bytes() == (
+            tmp_path / "sync_state.ckpt"
+        ).read_bytes()
+
+    def test_load_joins_pending_write(self, tmp_path):
+        """load_model right after a background save must see the full file
+        (read paths flush the in-flight write first)."""
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        path = tmp_path / "model-001-0.100000.ckpt"
+        model.save(path, background=True)
+        restored = load_model(path)  # flushes internally
+        rng = np.random.default_rng(8)
+        sample = random_batch(rng).inputs[:1]
+        np.testing.assert_allclose(
+            np.asarray(restored.predict(sample, mouse_index=1)),
+            np.asarray(model.predict(sample, mouse_index=1)),
+            rtol=2e-5,
+            atol=1e-6,
+        )
+
+    def test_background_write_error_surfaces_on_flush(self, tmp_path):
+        from sensorium_tpu.engine.checkpoint import flush_pending_saves
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        model.save(tmp_path / "no_such_dir" / "x.ckpt", background=True)
+        with pytest.raises(FileNotFoundError):
+            flush_pending_saves()
+        flush_pending_saves()  # error is consumed; writer is reusable
+
+    def test_fit_with_background_checkpoint_callback(self, tmp_path):
+        from sensorium_tpu.engine.checkpoint import flush_pending_saves
+
+        model = MouseModel(tiny_params())
+        model.set_ema(0.9)
+        model.build_state(seed=0, learning_rate=1e-2)
+        rng = np.random.default_rng(9)
+        loader = FakeLoader([random_batch(rng) for _ in range(3)])
+        model.fit(
+            loader,
+            val_loader=loader,
+            num_epochs=2,
+            callbacks=[Checkpoint(tmp_path, max_saves=1, background=True)],
+            metrics=[CorrelationMetric(num_neurons=[5, 7])],
+        )
+        flush_pending_saves()
+        best = get_best_model_path(tmp_path)
+        assert best is not None
+        assert (tmp_path / "train_state.ckpt").exists()
+        restored = load_model(best)
+        sample = loader.batches[0].inputs[:1]
+        assert np.isfinite(np.asarray(restored.predict(sample, mouse_index=1))).all()
+
+
 class TestLoggingToJSONL:
     def test_one_valid_record_per_epoch(self, tmp_path):
         import json
