@@ -70,6 +70,10 @@ def parse_arguments():
     parser.add_argument("--async-checkpoint", action="store_true",
                         help="write checkpoints in a background thread (the "
                              "next epoch starts while the previous save hits disk)")
+    parser.add_argument("--sharded-checkpoint", action="store_true",
+                        help="resume state via orbax/tensorstore: every process "
+                             "writes its own shards (required for cross-process "
+                             "parameter sharding), restore places directly on the mesh")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--debug-nans", action="store_true",
                         help="numerical sanitizer: raise (with traceback) at "
@@ -253,6 +257,8 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                     cmd.append("--resume")
                 if args.async_checkpoint:
                     cmd.append("--async-checkpoint")
+                if args.sharded_checkpoint:
+                    cmd.append("--sharded-checkpoint")
                 if args.debug_nans:
                     cmd.append("--debug-nans")
                 if args.trace and fold == folds_splits[0]:
@@ -364,6 +370,7 @@ def train_mouse(
     seed: int = 0,
     resume: bool = False,
     async_checkpoint: bool = False,
+    sharded_checkpoint: bool = False,
 ) -> MouseModel:
     config = copy.deepcopy(config)
     argus_params = config["argus_params"]
@@ -435,9 +442,19 @@ def train_mouse(
     )
 
     model.build_state(seed=seed, learning_rate=schedule)
+    # ".orbax" routes resume state through the sharded (orbax) backend:
+    # per-process shard writes, mesh-placed restore, no host gather.
+    state_name = "train_state.orbax" if sharded_checkpoint else "train_state.ckpt"
     start_epoch = 0
     if resume:
-        ckpt_path = save_dir / "train_state.ckpt"
+        ckpt_path = save_dir / state_name
+        if not ckpt_path.exists():
+            # Allow switching formats between runs: fall back to whichever
+            # resume state actually exists.
+            for candidate in ("train_state.orbax", "train_state.ckpt"):
+                if (save_dir / candidate).exists():
+                    ckpt_path = save_dir / candidate
+                    break
         local_epoch = -2  # sentinel: no checkpoint on this host
         if ckpt_path.exists():
             extra = model.load_train_state(ckpt_path)
@@ -480,15 +497,28 @@ def train_mouse(
                     LoggingToCSV(save_dir / "log.csv", append=True),
                     LoggingToJSONL(save_dir / "log.jsonl", append=True),
                 ]
-            if stage != "warmup" and is_primary:
-                callbacks.append(
-                    Checkpoint(
-                        save_dir,
-                        file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
-                        max_saves=1,
-                        background=async_checkpoint,
+            if stage != "warmup":
+                if is_primary:
+                    callbacks.append(
+                        Checkpoint(
+                            save_dir,
+                            file_format="model-{epoch:03d}-{val_corr:.6f}.ckpt",
+                            max_saves=1,
+                            background=async_checkpoint,
+                            train_state_name=state_name,
+                        )
                     )
-                )
+                elif sharded_checkpoint:
+                    # An orbax save is a collective: every process must join
+                    # the train-state write (each contributes its own
+                    # shards).  The inference checkpoint stays process-0's.
+                    callbacks.append(
+                        Checkpoint(
+                            save_dir,
+                            save_model=False,
+                            train_state_name=state_name,
+                        )
+                    )
             stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
             skip = max(0, start_epoch - stage_start)
             if skip >= num_epochs:
@@ -508,7 +538,9 @@ def train_mouse(
                 start_epoch=stage_start + skip,
                 preemption=preemption,
                 preemption_save_path=(
-                    save_dir / "train_state.ckpt" if is_primary else None
+                    save_dir / state_name
+                    if (is_primary or sharded_checkpoint)
+                    else None
                 ),
             )
     # Join any in-flight background checkpoint write before the fold is
@@ -603,6 +635,7 @@ def main():
                     config, fold_dir, train_splits, val_splits,
                     mesh=mesh, seed=args.seed, resume=args.resume,
                     async_checkpoint=args.async_checkpoint,
+                    sharded_checkpoint=args.sharded_checkpoint,
                 )
         except TrainingPreempted as preempted:
             print(f"Preempted: {preempted}. Rerun with --resume to continue.")

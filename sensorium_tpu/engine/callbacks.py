@@ -146,6 +146,8 @@ class Checkpoint(Callback):
         better: str = "max",
         save_train_state: bool = True,
         background: bool = False,
+        train_state_name: str = "train_state.ckpt",
+        save_model: bool = True,
     ):
         self.save_dir = Path(save_dir)
         self.file_format = file_format
@@ -153,6 +155,14 @@ class Checkpoint(Callback):
         self.monitor = monitor
         self.better = better
         self.save_train_state = save_train_state
+        # "train_state.orbax" routes resume state to the sharded backend
+        # (see MouseModel.save_train_state dispatch).
+        self.train_state_name = train_state_name
+        # save_model=False: resume-state only.  Used on non-primary hosts
+        # when the resume state is sharded (an orbax save is a COLLECTIVE —
+        # every process must join it) while the inference checkpoint stays
+        # process-0's job.
+        self.save_model = save_model
         # background=True: serialization + disk writes run off-thread so the
         # next epoch starts while the checkpoint is still hitting disk (the
         # weights are host-fetched synchronously — see engine.checkpoint).
@@ -166,15 +176,18 @@ class Checkpoint(Callback):
         self.save_dir.mkdir(parents=True, exist_ok=True)
         fields = {"epoch": state.global_epoch, self.monitor: score, **state.metrics}
         file_path = self.save_dir / self.file_format.format(**fields)
-        state.model.save(file_path, background=self.background)
-        state.logger.info(f"Model saved to '{file_path}'")
+        if self.save_model:
+            state.model.save(file_path, background=self.background)
+            state.logger.info(f"Model saved to '{file_path}'")
         if self.save_train_state:
             state.model.save_train_state(
-                self.save_dir / "train_state.ckpt",
+                self.save_dir / self.train_state_name,
                 extra={"epoch": state.global_epoch, self.monitor: score},
                 background=self.background,
             )
 
+        if not self.save_model:
+            return
         self._saved.append((score, file_path))
         reverse = self.better == "max"
         self._saved.sort(key=lambda item: item[0], reverse=reverse)

@@ -162,3 +162,57 @@ def load_train_state(path, state_template):
         payload = serialization.msgpack_restore(handle.read())
     state = serialization.from_state_dict(state_template, payload["state"])
     return state, payload.get("extra", {})
+
+
+# ---------------------------------------------------------------- sharded
+# Orbax/tensorstore-backed train-state checkpoints for sharded scale.
+#
+# The msgpack path above gathers the full state to one host — fine while
+# every array is process-addressable (single host, or multi-host pure-DP
+# where parameters are replicated), impossible once parameters shard
+# ACROSS processes (multi-host tensor parallelism): ``device_get`` of a
+# non-addressable global array raises.  Orbax writes each process's shards
+# straight from device to the (shared) checkpoint directory and restores
+# with the template's shardings — state never gathers anywhere, and resume
+# places arrays directly back on the mesh.
+
+
+def save_train_state_sharded(dir_path, state, argus_params: dict, extra: dict | None = None):
+    """Write a sharded resume checkpoint: ``<dir>/state`` (orbax) + meta.json."""
+    import orbax.checkpoint as ocp
+
+    flush_pending_saves()
+    dir_path = Path(dir_path)
+    dir_path.mkdir(parents=True, exist_ok=True)
+    checkpointer = ocp.StandardCheckpointer()
+    try:
+        checkpointer.save((dir_path / "state").resolve(), state, force=True)
+    finally:
+        checkpointer.close()
+    if jax.process_index() == 0:
+        meta = {
+            "version": MODEL_CHECKPOINT_VERSION,
+            "params": json.loads(json.dumps(argus_params)),
+            "extra": extra or {},
+        }
+        _atomic_write(dir_path / "meta.json", json.dumps(meta).encode())
+
+
+def load_train_state_sharded(dir_path, state_template):
+    """Restore ``<dir>`` into the template's structure AND shardings.
+
+    Unlike the msgpack path (host leaves, re-placed by the caller), the
+    restored arrays land directly on the template's mesh placement.
+    """
+    import orbax.checkpoint as ocp
+
+    dir_path = Path(dir_path)
+    meta = json.loads((dir_path / "meta.json").read_text())
+    if meta.get("version") != MODEL_CHECKPOINT_VERSION:
+        raise ValueError(f"Unsupported checkpoint version in {dir_path}")
+    checkpointer = ocp.StandardCheckpointer()
+    try:
+        state = checkpointer.restore((dir_path / "state").resolve(), state_template)
+    finally:
+        checkpointer.close()
+    return state, meta.get("extra", {})

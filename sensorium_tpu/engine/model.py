@@ -16,6 +16,7 @@ thin host-side driver around jitted pure functions:
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Sequence
 
 import jax
@@ -440,6 +441,14 @@ class MouseModel:
     def save_train_state(
         self, file_path, extra: dict | None = None, background: bool = False
     ) -> None:
+        """Resume checkpoint.  A ``.orbax`` path routes to the sharded
+        backend (see ``save_train_state_sharded``); anything else is the
+        single-file msgpack format (optionally written in the background)."""
+        if Path(file_path).suffix == ".orbax":
+            # Orbax coordinates its own multi-process write; the msgpack
+            # background writer does not apply.
+            self.save_train_state_sharded(file_path, extra=extra)
+            return
         ckpt.save_train_state(
             file_path, self.state, self.params, extra=extra, background=background
         )
@@ -447,9 +456,26 @@ class MouseModel:
     def load_train_state(self, file_path) -> dict:
         if self.state is None:
             raise RuntimeError("Call build_state() before load_train_state()")
+        if Path(file_path).suffix == ".orbax":
+            return self.load_train_state_sharded(file_path)
         self.state, extra = ckpt.load_train_state(file_path, self.state)
         # Restore the mesh placement (from_state_dict returns host leaves).
         self.state = mesh_lib.shard_state(self.mesh, self.state, self.tensor_parallel)
+        return extra
+
+    def save_train_state_sharded(self, dir_path, extra: dict | None = None) -> None:
+        """Sharded-scale resume checkpoint (orbax): each process writes its
+        own shards, nothing gathers to host — required once parameters
+        shard across processes (multi-host TP), where the msgpack path's
+        ``device_get`` would raise on non-addressable arrays."""
+        ckpt.save_train_state_sharded(dir_path, self.state, self.params, extra=extra)
+
+    def load_train_state_sharded(self, dir_path) -> dict:
+        if self.state is None:
+            raise RuntimeError("Call build_state() before load_train_state_sharded()")
+        # Restored arrays carry the template's shardings already — no
+        # host roundtrip, no re-placement pass.
+        self.state, extra = ckpt.load_train_state_sharded(dir_path, self.state)
         return extra
 
 
