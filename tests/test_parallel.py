@@ -437,6 +437,17 @@ class TestDryrun:
         graft.dryrun_multichip(8, flagship=False)
         assert "ok" in capsys.readouterr().out
 
+    def test_dryrun_multichip_hybrid(self, capsys, monkeypatch):
+        """SENSORIUM_DRYRUN_SLICES=2 runs the multi-slice (replica, data,
+        model) topology through the same entry point, incl. the sharded ==
+        unsharded loss cross-check."""
+        import __graft_entry__ as graft
+
+        monkeypatch.setenv("SENSORIUM_DRYRUN_SLICES", "2")
+        graft.dryrun_multichip(8, flagship=False)
+        out = capsys.readouterr().out
+        assert "ok" in out and "'replica': 2" in out
+
 
 class TestRaggedBatches:
     """Mesh + non-divisible batch sizes (engine/model._pad_batch_to_mesh)."""
