@@ -143,13 +143,20 @@ def main():
     device = select_device(args.device)
     mesh = None
     if args.mesh:
-        from sensorium_tpu.parallel.mesh import create_mesh
+        from sensorium_tpu.parallel.mesh import (
+            create_hybrid_mesh,
+            create_mesh,
+            data_extent,
+        )
 
-        mesh = create_mesh()
-        if args.chunk_size % mesh.shape["data"]:
+        # Multi-slice hosts get the hybrid topology automatically so chunk
+        # batches spread across slices instead of replicating per slice.
+        num_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+        mesh = create_hybrid_mesh() if num_slices > 1 else create_mesh()
+        if args.chunk_size % data_extent(mesh):
             raise SystemExit(
                 f"--chunk-size {args.chunk_size} must be a multiple of the "
-                f"data-axis size ({mesh.shape['data']} devices)"
+                f"mesh batch-sharding ways ({data_extent(mesh)} devices)"
             )
     with jax.default_device(device) if device is not None else contextlib.nullcontext():
         if args.split == "folds":

@@ -349,13 +349,16 @@ def build_mesh(args):
         )
     if args.no_mesh or len(jax.devices()) == 1:
         return None
-    num_model = (
-        2
-        if "model" in args.mesh and len(jax.devices()) % 2 == 0
-        else 1
-    )
+    devices = jax.devices()
     if args.mesh.startswith("replica"):
+        # num_model parity must hold PER SLICE (the model axis is
+        # intra-slice), not just globally: 2 slices x 3 chips is even
+        # globally but cannot host a 2-way model axis.
+        num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        per_slice = len(devices) // num_slices
+        num_model = 2 if "model" in args.mesh and per_slice % 2 == 0 else 1
         return create_hybrid_mesh(num_model=num_model)
+    num_model = 2 if "model" in args.mesh and len(devices) % 2 == 0 else 1
     if num_model > 1:
         return create_mesh(num_model=num_model)
     return create_mesh()

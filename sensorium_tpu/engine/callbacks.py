@@ -241,7 +241,9 @@ class EarlyStopping(Callback):
             self.wait = 0
             return
         self.wait += 1
-        if self.wait > self.patience:
+        # argus/Keras semantics: stop once `patience` consecutive epochs
+        # have passed without improvement (wait >= patience, not >).
+        if self.wait >= self.patience:
             state.stopped = True
             state.logger.info(
                 f"Early stopping: no {self.monitor} improvement over "

@@ -327,10 +327,37 @@ class MouseModel:
             raise RuntimeError("Call build_state() before fit()")
         engine_state = EngineState(model=self, stage=stage, logger=self.logger)
 
+        # A ".orbax" preemption save is a COLLECTIVE (every process writes
+        # its shards), but SIGTERM latches at each host's own batch
+        # boundary — unsynchronized, one process could enter the collective
+        # with a different train-state version (corrupt checkpoint) or
+        # never enter it (deadlock).  Agree on the trigger with a tiny
+        # all-gather at the (loop-aligned) check points instead.
+        sync_trigger = (
+            preemption is not None
+            and preemption_save_path is not None
+            and Path(preemption_save_path).suffix == ".orbax"
+            and jax.process_count() > 1
+        )
+
+        def preemption_triggered() -> bool:
+            if preemption is None:
+                return False
+            if not sync_trigger:
+                return preemption.triggered
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.int32(1 if preemption.triggered else 0)
+                )
+            )
+            return bool(flags.max())
+
         def check_preempted(epochs_behind: int = 1):
             """``epochs_behind=1`` mid-epoch (redo it on resume); ``0`` once
             the epoch's callbacks (incl. checkpointing) have completed."""
-            if preemption is not None and preemption.triggered:
+            if preemption_triggered():
                 epoch_done = engine_state.global_epoch - epochs_behind
                 if preemption_save_path is not None:
                     self.save_train_state(

@@ -102,11 +102,14 @@ class Predictor:
         assert params["responses_processor"][0] == "identity"
         self.indexes_generator = WindowIndexer(frame_stack["size"], frame_stack["step"])
         self.blend_weights = get_blend_weights(blend_weights, frame_stack["size"])
-        if mesh is not None and chunk_size % mesh.shape["data"]:
-            raise ValueError(
-                f"chunk_size {chunk_size} must be a multiple of the mesh "
-                f"data-axis size ({mesh.shape['data']})"
-            )
+        if mesh is not None:
+            from sensorium_tpu.parallel.mesh import data_extent
+
+            if chunk_size % data_extent(mesh):
+                raise ValueError(
+                    f"chunk_size {chunk_size} must be a multiple of the mesh "
+                    f"batch-sharding ways ({data_extent(mesh)})"
+                )
         self.chunk_size = chunk_size
         self.length_bucket = length_bucket
         self._window_fns: dict[int, callable] = {}
@@ -154,8 +157,13 @@ class Predictor:
             return {}
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from sensorium_tpu.parallel.mesh import data_axes
+
         rep = NamedSharding(self.mesh, PartitionSpec())
-        chunked = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        # Chunk batches shard over ALL data-like axes (incl. the hybrid
+        # mesh's ``replica``) — otherwise every slice would redundantly
+        # recompute identical window forwards.
+        chunked = NamedSharding(self.mesh, PartitionSpec(None, data_axes(self.mesh)))
         # Weights keep whatever placement load_model gave them — replicated
         # on a pure data mesh, TP-sharded over the ``model`` axis on a
         # (data, model) mesh (parallel/mesh.py shard_state).

@@ -63,20 +63,37 @@ def create_hybrid_mesh(
         devices = jax.devices()
     if num_slices is None:
         num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if len(devices) % (num_slices * num_model):
+        raise ValueError(
+            f"{len(devices)} devices do not factor into "
+            f"slices={num_slices} x model={num_model} (per-slice device "
+            f"count {len(devices) / num_slices:g} must be a multiple of "
+            f"num_model)"
+        )
     if num_data is None:
         num_data = len(devices) // (num_slices * num_model)
     shape = (num_slices, num_data, num_model)
     n = num_slices * num_data * num_model
-    try:
+    if n != len(devices):
+        # Silently training on a subset of the machine is never intended.
+        raise ValueError(
+            f"mesh {shape} covers {n} devices but {len(devices)} are present"
+        )
+    if any(hasattr(d, "slice_index") for d in devices):
+        # Real multi-slice metal: device order must follow slice granules so
+        # the outer axis truly crosses DCN.  A failure here is a genuine
+        # topology/config error — propagate it, never fall back to an
+        # enumeration-order reshape that would silently route the per-step
+        # data-axis collectives over DCN.
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            (1, num_data, num_model), (num_slices, 1, 1), devices=devices[:n]
+            (1, num_data, num_model), (num_slices, 1, 1), devices=devices
         )
-    except Exception:
+    else:
         # No slice_index granules (CPU tests / single slice): slice-major
         # reshape yields the identical logical mesh.
-        dev_array = np.asarray(devices[:n]).reshape(shape)
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(np.asarray(dev_array).reshape(shape), axis_names=("replica", "data", "model"))
 
 

@@ -1079,7 +1079,9 @@ class TestEarlyStopping:
     def test_auto_direction_and_patience(self):
         from sensorium_tpu.engine.callbacks import EarlyStopping, EngineState
 
-        stopper = EarlyStopping(monitor="val_loss", patience=1)  # auto -> min
+        # argus semantics: patience=2 tolerates ONE non-improving epoch and
+        # stops on the second consecutive one (wait >= patience).
+        stopper = EarlyStopping(monitor="val_loss", patience=2)  # auto -> min
         assert stopper.better == "min"
         assert EarlyStopping(monitor="val_corr").better == "max"
 
@@ -1091,9 +1093,23 @@ class TestEarlyStopping:
             assert state.stopped is expect_stopped, loss
         assert stopper.best == 0.5
 
+    def test_patience_one_stops_on_first_plateau(self):
+        """patience=1 must stop on the FIRST non-improving epoch (the
+        argus/Keras boundary — wait >= patience, not wait > patience)."""
+        from sensorium_tpu.engine.callbacks import EarlyStopping, EngineState
+
+        stopper = EarlyStopping(monitor="val_loss", patience=1)
+        state = EngineState(model=None)
+        state.metrics = {"val_loss": 1.0}
+        stopper.epoch_complete(state)
+        assert state.stopped is False
+        state.metrics = {"val_loss": 1.0}  # no improvement
+        stopper.epoch_complete(state)
+        assert state.stopped is True
+
     def test_fit_loop_stops_at_boundary(self):
         """Through the real fit loop: a never-improving monitored metric
-        ends training after 1 + patience + 1 epochs."""
+        ends training after 1 + patience epochs."""
         from sensorium_tpu.engine.callbacks import Callback, EarlyStopping
 
         class ConstantProbe(Callback):
@@ -1112,7 +1128,7 @@ class TestEarlyStopping:
             num_epochs=6,
             callbacks=[ConstantProbe(), EarlyStopping(monitor="probe", patience=1)],
         )
-        assert ConstantProbe.epochs_run == 3  # best at 0, wait 1, stop after 2
+        assert ConstantProbe.epochs_run == 2  # best at 0, stop at first plateau
 
 
 class TestResumeEquivalence:

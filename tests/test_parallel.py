@@ -353,6 +353,40 @@ class TestHybridMesh:
             (full[0], full[1], full[2], full[3] // 2)
         }
 
+    def test_nonfactoring_devices_raise(self):
+        """Silently training on a device subset is never intended."""
+        with pytest.raises(ValueError, match="factor|covers"):
+            create_hybrid_mesh(num_slices=2, num_model=2, devices=jax.devices()[:6])
+        with pytest.raises(ValueError, match="covers"):
+            create_hybrid_mesh(num_slices=2, num_data=1, num_model=2)  # 4 of 8
+
+    def test_hybrid_predictor_shards_chunks_across_replica(self, hybrid, tmp_path):
+        """Chunk batches must spread over replica AND data axes — and match
+        the single-device blend bit-for-bit at f32 tolerance."""
+        from sensorium_tpu.infer.predictor import Predictor
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        path = tmp_path / "model-001-0.100000.ckpt"
+        model.save(path)
+
+        rng = np.random.default_rng(41)
+        length = 24
+        video = rng.uniform(0, 255, (12, 16, length)).astype(np.float32)
+        behavior = rng.uniform(0, 5, (2, length)).astype(np.float32)
+        pupil = rng.uniform(50, 200, (2, length)).astype(np.float32)
+
+        plain = Predictor(path, chunk_size=8).predict_trial(
+            video, behavior, pupil, mouse_index=1
+        )
+        sharded = Predictor(path, chunk_size=8, mesh=hybrid).predict_trial(
+            video, behavior, pupil, mouse_index=1
+        )
+        np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-6)
+        # chunk_size must divide replica*data (4), not just data (2).
+        with pytest.raises(ValueError, match="batch-sharding ways"):
+            Predictor(path, chunk_size=6, mesh=hybrid)
+
 
 class TestShardedCheckpoint:
     """Orbax-backed resume state: per-process shard writes, mesh-placed
