@@ -343,9 +343,16 @@ def main_lockstep():
         losses, lrs = [], []
         for k in range(num_steps):
             if k == spec["warmup_steps"]:
-                # Train stage: fresh CosineAnnealingLR from the peak.
-                sched = torch.optim.lr_scheduler.CosineAnnealingLR(
-                    opt, T_max=spec["cosine_steps"], eta_min=lc.MIN_LR
+                # Train stage: fresh scheduler from the peak — the default
+                # CosineAnnealingLR, or the trajectory's named torch
+                # scheduler (trajectory "c": CosineAnnealingWarmRestarts).
+                sched_name, sched_kwargs = spec.get(
+                    "scheduler",
+                    ("CosineAnnealingLR",
+                     {"T_max": spec["cosine_steps"], "eta_min": lc.MIN_LR}),
+                )
+                sched = getattr(torch.optim.lr_scheduler, sched_name)(
+                    opt, **sched_kwargs
                 )
             model.train()
             opt.zero_grad()
@@ -362,6 +369,14 @@ def main_lockstep():
                 loss.backward()
                 loss_value += loss.item()
             lrs.append(opt.param_groups[0]["lr"])
+            if spec.get("grad_clip"):
+                # Engine-capability composition (trajectory "c"): the raw
+                # accumulated gradients are clipped by global L2 norm
+                # immediately before the step, exactly where a torch recipe
+                # calls clip_grad_norm_.
+                torch.nn.utils.clip_grad_norm_(
+                    model.parameters(), spec["grad_clip"]
+                )
             opt.step()
             with torch.no_grad():
                 for e_v, m_v in zip(

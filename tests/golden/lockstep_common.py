@@ -28,9 +28,20 @@ import numpy as np
 # true_batch_001 (configs/true_batch_001.py:14).
 # Trajectory "b": gradient accumulation — iter_size=2 through the same
 # engine chain (argus_models.py:48-56 deep_chunk loop).
+# Trajectory "c": the engine-capability extensions composed into the same
+# chain — global-norm grad clipping (torch clip_grad_norm_ before
+# optimizer.step) and a registry train-stage scheduler
+# (CosineAnnealingWarmRestarts) replacing the cosine stage.
 TRAJECTORIES = {
     "a": dict(warmup_steps=6, cosine_steps=14, iter_size=1),
     "b": dict(warmup_steps=3, cosine_steps=5, iter_size=2),
+    "c": dict(
+        warmup_steps=3,
+        cosine_steps=10,
+        iter_size=1,
+        grad_clip=1.0,
+        scheduler=("CosineAnnealingWarmRestarts", {"T_0": 4, "T_mult": 2, "eta_min": 1e-5}),
+    ),
 }
 PEAK_LR = 1e-3
 MIN_LR = 1e-5

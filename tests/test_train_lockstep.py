@@ -10,6 +10,9 @@ incl. the ``deep_chunk`` iter_size path), ``ModelEma``
 (/root/reference/src/ema.py:47-55), warmup ``LambdaLR`` +
 ``CosineAnnealingLR`` per /root/reference/scripts/train.py:122-134 — from
 identical weights over identical precomputed batches (fp32, no AMP).
+Trajectory "c" composes the engine-capability extensions into the same
+chain: ``clip_grad_norm`` (torch ``clip_grad_norm_`` placement) and a
+registry train-stage scheduler (``CosineAnnealingWarmRestarts``).
 Error compounding (BN momentum, weight-decay/schedule coupling,
 EMA-of-stats) is exactly what the per-link tests cannot see.
 
@@ -106,6 +109,21 @@ def _convert(golden, model, prefix):
     )
 
 
+def _trajectory_schedule(spec):
+    """The trajectory's LR plan: default warmup+cosine, or the named
+    registry scheduler for the train stage (trajectory "c")."""
+    if "scheduler" in spec:
+        from sensorium_tpu.engine.schedule import build_stage_schedule
+
+        return build_stage_schedule(
+            lc.PEAK_LR, lc.MIN_LR, spec["warmup_steps"], spec["cosine_steps"],
+            scheduler_spec=spec["scheduler"],
+        )
+    return warmup_cosine(
+        lc.PEAK_LR, lc.MIN_LR, spec["warmup_steps"], spec["cosine_steps"]
+    )
+
+
 def _run_trajectory(golden, model, name: str):
     spec = lc.TRAJECTORIES[name]
     num_steps = spec["warmup_steps"] + spec["cosine_steps"]
@@ -113,12 +131,16 @@ def _run_trajectory(golden, model, name: str):
     compact = lc.compact_targets(targets, weights)
 
     params, batch_stats = _convert(golden, model, "sd0")
-    schedule = warmup_cosine(
-        lc.PEAK_LR, lc.MIN_LR, spec["warmup_steps"], spec["cosine_steps"]
-    )
+    schedule = _trajectory_schedule(spec)
     tx = get_optimizer(
         "AdamW", {"lr": lc.PEAK_LR, "weight_decay": lc.WEIGHT_DECAY}, learning_rate=schedule
     )
+    if spec.get("grad_clip"):
+        import optax
+
+        from sensorium_tpu.engine.optimizers import clip_grad_norm
+
+        tx = optax.chain(clip_grad_norm(spec["grad_clip"]), tx)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -143,7 +165,7 @@ def _run_trajectory(golden, model, name: str):
     return state, np.array(losses)
 
 
-@pytest.fixture(scope="module", params=["a", "b"])
+@pytest.fixture(scope="module", params=["a", "b", "c"])
 def trajectory(request, golden, model):
     name = request.param
     state, losses = _run_trajectory(golden, model, name)
@@ -155,9 +177,7 @@ def test_applied_lr_plan_matches_torch(golden):
     the optax schedule at the same update counts — pins the composed
     warmup->cosine handoff, not just each stage's closed form."""
     for name, spec in lc.TRAJECTORIES.items():
-        schedule = warmup_cosine(
-            lc.PEAK_LR, lc.MIN_LR, spec["warmup_steps"], spec["cosine_steps"]
-        )
+        schedule = _trajectory_schedule(spec)
         expected = golden[f"{name}:lrs"]
         got = np.array([float(schedule(k)) for k in range(len(expected))])
         np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-12, err_msg=name)
