@@ -30,7 +30,19 @@ def mouse_dir(mouse: str):
 
 
 def compute_video_phashes(mouse: str) -> np.ndarray:
-    """Per-trial uint64 pHash (0 for trials with tier 'none')."""
+    """Per-trial uint64 pHash (0 for trials with tier 'none').
+
+    Cached per (mouse, dataset root): hashing is one full read + DCT of
+    every labeled video, so callers that need both the fold tiers and the
+    raw hashes (e.g. ``tools/validate_phash_realdata.py``) must not pay
+    for it twice.  The returned array is read-only to keep the cache
+    immutable.
+    """
+    return _video_phashes_cached(mouse, str(constants.sensorium_dir))
+
+
+@functools.lru_cache(maxsize=None)
+def _video_phashes_cached(mouse: str, root: str) -> np.ndarray:
     tiers = np.load(str(mouse_dir(mouse) / "meta" / "trials" / "tiers.npy"))
     phashes = np.zeros(tiers.shape[0], dtype=np.uint64)
     for trial_id, tier in enumerate(tiers):
@@ -38,6 +50,7 @@ def compute_video_phashes(mouse: str) -> np.ndarray:
             continue
         video = np.load(str(mouse_dir(mouse) / "data" / "videos" / f"{trial_id}.npy"), mmap_mode="r")
         phashes[trial_id] = video_phash(np.asarray(video))
+    phashes.flags.writeable = False
     return phashes
 
 
@@ -90,8 +103,13 @@ def _folds_tiers_cached(
 
 
 # Back-compat: callers (tests, bench) clear the fold cache through the
-# public name.
-get_folds_tiers.cache_clear = _folds_tiers_cached.cache_clear
+# public name; the phash cache feeds it, so both clear together.
+def _clear_fold_caches() -> None:
+    _folds_tiers_cached.cache_clear()
+    _video_phashes_cached.cache_clear()
+
+
+get_folds_tiers.cache_clear = _clear_fold_caches
 
 
 def get_mouse_data(mouse: str, splits: list[str]) -> dict:

@@ -44,20 +44,31 @@ def test_skips_cleanly_when_dataset_absent(tmp_path):
     assert summary["status"] == "skipped"
 
 
-def test_validates_a_real_layout_dataset(tmp_path):
-    # Minimal real on-disk layout for one mouse: 3 labeled trials, one
-    # duplicated stimulus video (trials 0 and 2) that must share a fold.
+def make_mouse(tmp_path, *, with_test_tier: bool = False) -> None:
+    # Minimal real on-disk layout for one (new) mouse: 3 labeled trials,
+    # one duplicated stimulus video (trials 0 and 2) that must share a
+    # fold; optionally a 4th live_test trial (labeled but NOT foldable for
+    # new mice, /root/reference/src/data.py:20-30).
     rng = np.random.default_rng(7)
     mouse_dir = tmp_path / MOUSE
     (mouse_dir / "meta" / "trials").mkdir(parents=True)
     (mouse_dir / "data" / "videos").mkdir(parents=True)
-    np.save(mouse_dir / "meta" / "trials" / "tiers.npy", np.array(["train", "train", "train", "none"]))
+    tiers = ["train", "train", "train", "none"]
+    if with_test_tier:
+        tiers.append("live_test_main")
+    np.save(mouse_dir / "meta" / "trials" / "tiers.npy", np.array(tiers))
     dup = rng.uniform(0, 255, size=(36, 64, 40)).astype(np.float32)
     other = rng.uniform(0, 255, size=(36, 64, 40)).astype(np.float32)
     np.save(mouse_dir / "data" / "videos" / "0.npy", dup)
     np.save(mouse_dir / "data" / "videos" / "1.npy", other)
     np.save(mouse_dir / "data" / "videos" / "2.npy", dup.copy())
+    if with_test_tier:
+        test_video = rng.uniform(0, 255, size=(36, 64, 40)).astype(np.float32)
+        np.save(mouse_dir / "data" / "videos" / "4.npy", test_video)
 
+
+def test_validates_a_real_layout_dataset(tmp_path):
+    make_mouse(tmp_path)
     result = run_tool("--data-dir", str(tmp_path), "--mice", MOUSE)
     assert result.returncode == 0, result.stdout + result.stderr
     summary = json.loads(result.stdout.strip().splitlines()[-1])
@@ -67,3 +78,52 @@ def test_validates_a_real_layout_dataset(tmp_path):
     assert summary["fold_mismatches"] == 0
     # The duplicated video forms one group of size 2 — same hash, same fold.
     assert "2: 1" in result.stdout
+
+
+def test_partial_dataset_validates_present_subset(tmp_path):
+    # Default mouse list with only one mouse on disk: the present mouse is
+    # validated (not silently SKIPPED) and the absent ones are reported.
+    make_mouse(tmp_path)
+    result = run_tool("--data-dir", str(tmp_path))
+    assert result.returncode == 0, result.stdout + result.stderr
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    assert summary["mice_checked"] == 1
+    assert len(summary["mice_missing"]) == 9
+    assert summary["trials"] == 3
+    assert "WARNING" in result.stdout
+
+
+def test_explicit_missing_mouse_is_an_error(tmp_path):
+    # A typo'd --mice id must not read as a pass (or a skip).
+    make_mouse(tmp_path)
+    result = run_tool("--data-dir", str(tmp_path), "--mice", MOUSE, "typo-mouse")
+    assert result.returncode == 2, result.stdout + result.stderr
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "bad_mice"
+
+
+def test_unfolded_test_tier_is_hashed_but_not_fold_checked(tmp_path):
+    # New-mouse live_test trials are labeled (hashed, oracle-checked) but
+    # carry no fold; they must not enter the fold histogram nor count as a
+    # fold mismatch.
+    make_mouse(tmp_path, with_test_tier=True)
+    result = run_tool("--data-dir", str(tmp_path), "--mice", MOUSE)
+    assert result.returncode == 0, result.stdout + result.stderr
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    assert summary["trials"] == 4  # oracle leg covers the test trial ...
+    assert sum(summary["fold_hist"].values()) == 3  # ... the fold checks don't
+
+
+def test_spot_check_mode_and_flag_validation(tmp_path):
+    make_mouse(tmp_path)
+    result = run_tool("--data-dir", str(tmp_path), "--mice", MOUSE, "--max-trials", "2")
+    assert result.returncode == 0, result.stdout + result.stderr
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    assert summary["mode"] == "spot"
+    assert summary["trials"] == 2
+
+    bad = run_tool("--skip-oracle", "--max-trials", "2")
+    assert bad.returncode == 2
