@@ -99,6 +99,9 @@ def _folds_tiers_cached(
         labeled = tiers != "none"
     for trial_id in np.argwhere(labeled).ravel():
         tiers[trial_id] = f"fold_{int(phashes[trial_id]) % num_folds}"
+    # Read-only like the phash cache: a caller mutating the returned array
+    # would poison fold assignment for the rest of the process.
+    tiers.flags.writeable = False
     return tiers
 
 

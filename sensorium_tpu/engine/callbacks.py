@@ -40,14 +40,28 @@ class Callback:
 
 
 def build_logger(log_path: Path | None = None, append: bool = True) -> logging.Logger:
+    """Idempotently wire the shared 'sensorium' logger.
+
+    Never clears existing handlers: the logger is process-global, and a
+    second model construction (a distillation teacher, a Predictor) must
+    not silently drop a ``log.txt`` handler another component installed.
+    Each handler is added only if an equivalent one is not already there.
+    """
     logger = logging.getLogger("sensorium")
     logger.setLevel(logging.INFO)
-    logger.handlers.clear()
     formatter = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-    stream = logging.StreamHandler(sys.stdout)
-    stream.setFormatter(formatter)
-    logger.addHandler(stream)
-    if log_path is not None:
+    if not any(
+        type(h) is logging.StreamHandler and getattr(h, "stream", None) is sys.stdout
+        for h in logger.handlers
+    ):
+        stream = logging.StreamHandler(sys.stdout)
+        stream.setFormatter(formatter)
+        logger.addHandler(stream)
+    if log_path is not None and not any(
+        isinstance(h, logging.FileHandler)
+        and Path(getattr(h, "baseFilename", "")) == Path(log_path).resolve()
+        for h in logger.handlers
+    ):
         handler = logging.FileHandler(log_path, mode="a" if append else "w")
         handler.setFormatter(formatter)
         logger.addHandler(handler)
@@ -74,25 +88,45 @@ class LoggingToFile(Callback):
 
 
 class LoggingToCSV(Callback):
-    """Append one metrics row per epoch to ``log.csv``."""
+    """Append one metrics row per epoch to ``log.csv``.
+
+    Columns are kept aligned with the file's header even when the metric
+    set drifts (a resumed run adding a metric, a stage without val_*
+    keys): appending reuses the existing header, filling absent keys with
+    "", and a row introducing NEW keys rewrites the file once with the
+    union header — values never land under the wrong column.
+    """
 
     def __init__(self, file_path, append: bool = True):
         self.file_path = Path(file_path)
         self.append = append
         self._initialized = False
+        self._fieldnames: list[str] | None = None
 
     def epoch_complete(self, state: EngineState) -> None:
         self.file_path.parent.mkdir(parents=True, exist_ok=True)
         row = {"epoch": state.global_epoch, "stage": state.stage, **state.metrics}
-        write_header = not self._initialized and (
-            not self.append or not self.file_path.exists()
-        )
-        mode = "a" if (self.append or self._initialized) else "w"
-        with open(self.file_path, mode, newline="") as handle:
-            writer = csv.DictWriter(handle, fieldnames=list(row.keys()))
-            if write_header:
+        use_existing = self.file_path.exists() and (self.append or self._initialized)
+        if self._fieldnames is None:
+            self._fieldnames = []
+            if use_existing:
+                with open(self.file_path, newline="") as handle:
+                    self._fieldnames = list(csv.DictReader(handle).fieldnames or [])
+        new_keys = [key for key in row if key not in self._fieldnames]
+        if new_keys:
+            self._fieldnames = self._fieldnames + new_keys
+            old_rows: list[dict] = []
+            if use_existing:
+                with open(self.file_path, newline="") as handle:
+                    old_rows = list(csv.DictReader(handle))
+            with open(self.file_path, "w", newline="") as handle:
+                writer = csv.DictWriter(handle, fieldnames=self._fieldnames, restval="")
                 writer.writeheader()
-            writer.writerow(row)
+                writer.writerows(old_rows)
+                writer.writerow(row)
+        else:
+            with open(self.file_path, "a", newline="") as handle:
+                csv.DictWriter(handle, fieldnames=self._fieldnames, restval="").writerow(row)
         self._initialized = True
 
 
@@ -149,6 +183,12 @@ class Checkpoint(Callback):
         train_state_name: str = "train_state.ckpt",
         save_model: bool = True,
     ):
+        # Same contract as EarlyStopping: anything else ("Max", "maximize")
+        # would silently sort ascending and keep the WORST checkpoints.
+        if better not in ("min", "max", "auto"):
+            raise ValueError(f"better must be min/max/auto, got {better!r}")
+        if better == "auto":
+            better = "min" if "loss" in monitor else "max"
         self.save_dir = Path(save_dir)
         self.file_format = file_format
         self.max_saves = max_saves

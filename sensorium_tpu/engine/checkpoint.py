@@ -56,30 +56,41 @@ class _AsyncWriter:
         self._error: BaseException | None = None
         self._lock = threading.Lock()
 
+    def _drain_locked(self) -> BaseException | None:
+        """Join the in-flight write and collect its error (lock held)."""
+        thread, self._thread = self._thread, None
+        if thread is not None:
+            thread.join()
+        error, self._error = self._error, None
+        return error
+
     def wait(self) -> None:
         """Block until the in-flight write (if any) completes; re-raise its error."""
         with self._lock:
-            thread, self._thread = self._thread, None
-            if thread is not None:
-                thread.join()
-            error, self._error = self._error, None
+            error = self._drain_locked()
         if error is not None:
             raise error
 
     def submit(self, path: Path, serialize) -> None:
-        self.wait()
-
         def run():
             try:
                 _atomic_write(path, serialize())
             except BaseException as exc:  # surfaced on the next wait()
                 self._error = exc
 
+        # Drain + replace under ONE lock hold: a wait()-then-lock sequence
+        # would let two concurrent submitters both see "no in-flight write"
+        # and race, orphaning one thread (its error never surfaced) and
+        # breaking the one-in-flight ordering guarantee.
         with self._lock:
-            self._thread = threading.Thread(
-                target=run, name=f"ckpt-write-{path.name}", daemon=True
-            )
-            self._thread.start()
+            error = self._drain_locked()
+            if error is None:
+                self._thread = threading.Thread(
+                    target=run, name=f"ckpt-write-{path.name}", daemon=True
+                )
+                self._thread.start()
+        if error is not None:
+            raise error
 
 
 _writer = _AsyncWriter()

@@ -80,11 +80,26 @@ def mice_poisson_loss(
     contribute exactly 0 with no mask; ``log_input=True`` makes a padded
     element worth ``exp(0) = 1``, so that path requires ``neuron_mask``
     (``get_loss`` threads it from the model's readout_outputs).
+
+    Zero-weight cells are masked by SELECTION, not multiplication: the
+    reference indexes ``input_tensor[mask]`` before the loss runs
+    (losses.py:17-20) and never evaluates unsupervised cells.  Those
+    cells receive no gradient, so their predictions drift over training;
+    with ``log_input=True`` a drifted log-rate > ~88.7 overflows
+    ``exp`` to inf and ``inf * 0-weight`` would poison the whole loss
+    (and, through the vjp of ``exp``, every shared-weight gradient).
+    The double-``where`` zeroes the prediction going IN and the
+    elementwise loss coming OUT, so neither pass materializes the inf.
+    Bit-identical to the weight-multiply form whenever everything is
+    finite.
     """
     weights = weights / jnp.sum(weights)
+    active = (weights != 0.0).T[:, :, None, None]  # (M, B, 1, 1)
+    prediction = jnp.where(active, prediction, 0.0)
     elem = poisson_nll(
         prediction, _broadcast_target(target, prediction), eps, log_input, full
     )  # (M, B, N, T)
+    elem = jnp.where(active, elem, 0.0)
     if neuron_mask is not None:
         elem = elem * neuron_mask[:, None, :, None]
     per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
@@ -148,7 +163,12 @@ def _weighted_mice_reduce(elem_fn):
 
     def loss(prediction, target, weights, **kwargs):
         w = weights / jnp.sum(weights)
+        # Same selection masking as mice_poisson_loss: unsupervised cells
+        # drift without gradient, so never evaluate the loss on them.
+        active = (w != 0.0).T[:, :, None, None]  # (M, B, 1, 1)
+        prediction = jnp.where(active, prediction, 0.0)
         elem = elem_fn(prediction, _broadcast_target(target, prediction), **kwargs)
+        elem = jnp.where(active, elem, 0.0)
         per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
         return jnp.sum(per_cell * w.T)
 

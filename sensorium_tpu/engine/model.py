@@ -94,12 +94,35 @@ class MouseModel:
             "size", (64, 64)
         )
         in_channels = self.params["nn_module"][1].get("in_channels", 5)
+        # inputs_processor size is (width, height) but batch arrays are
+        # (..., height, width) — see StackInputsProcessor.
         return np.zeros(
-            (batch_size, in_channels, frame_stack["size"], size[0], size[1]), np.float32
+            (batch_size, in_channels, frame_stack["size"], size[1], size[0]), np.float32
         )
 
     def set_ema(self, decay: float) -> None:
-        self.ema_decay = float(decay)
+        """Set (or change) the EMA decay; safe before OR after build_state.
+
+        The decay is baked into the jitted train step, so the cached step
+        is invalidated; when state already exists, the EMA trees are
+        created (a copy of the live values, ModelEma semantics) or dropped
+        to match, preserving device placement.
+        """
+        decay = float(decay)
+        if decay == self.ema_decay:
+            return
+        self.ema_decay = decay
+        self._train_step = None
+        if self.state is None:
+            return
+        if decay > 0.0 and self.state.ema_params is None:
+            copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+            self.state = self.state.replace(
+                ema_params=copy_tree(self.state.params),
+                ema_batch_stats=copy_tree(self.state.batch_stats),
+            )
+        elif decay == 0.0:
+            self.state = self.state.replace(ema_params=None, ema_batch_stats=None)
 
     def set_distill(self, teacher_module, teacher_vars: dict, ratio: float) -> None:
         """Attach a frozen teacher whose predictions fill unlabeled cells."""
@@ -383,7 +406,10 @@ class MouseModel:
                 for batch in train_loader:
                     losses.append(self.train_step(batch))
                     check_preempted()
-            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            # One device_get for the whole list: per-loss fetches would be
+            # len(losses) sequential blocking round trips (minutes per
+            # epoch boundary through the axon tunnel).
+            train_loss = float(np.mean(jax.device_get(losses))) if losses else float("nan")
             engine_state.metrics["train_loss"] = train_loss
 
             if val_loader is not None:
@@ -417,7 +443,7 @@ class MouseModel:
                                     batch.weights,
                                 )
                 engine_state.metrics["val_loss"] = float(
-                    np.mean([jax.device_get(l) for l in val_losses])
+                    np.mean(jax.device_get(val_losses))
                 )
                 for metric in metrics:
                     engine_state.metrics.update(metric.epoch_metrics(prefix="val_"))

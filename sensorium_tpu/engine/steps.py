@@ -93,6 +93,18 @@ def make_train_step(
             # Chunk the leading batch axis; average grads, sum the per-chunk
             # (already /iter_size-scaled) losses like the reference
             # (argus_models.py:53-56 scales each chunk's loss by 1/iter_size).
+            # Unlike the reference's deep_chunk (which allows uneven torch
+            # chunks like 11/11/10), the static-shape lax.scan requires the
+            # batch to divide evenly — fail with a clear message instead of
+            # an opaque reshape trace error (documented in MIGRATION.md).
+            if inputs.shape[0] % iter_size:
+                raise ValueError(
+                    f"batch_size {inputs.shape[0]} is not divisible by "
+                    f"iter_size {iter_size}: gradient-accumulation microbatches "
+                    "are equal-size lax.scan chunks on TPU (static shapes); "
+                    "pick batch_size % iter_size == 0"
+                )
+
             def reshape(x):
                 chunk = x.shape[0] // iter_size
                 return x.reshape((iter_size, chunk) + x.shape[1:])

@@ -199,6 +199,10 @@ class TestGuardRails:
 
         phash_tiers = mouse_data_mod.get_folds_tiers(mouse, 7)
         assert list(phash_tiers) == ["fold_5"] * 3
+        # The cached array is read-only: one caller mutating it would
+        # poison fold assignment for the rest of the process.
+        with pytest.raises(ValueError):
+            phash_tiers[0] = "train"
         # Flipping the env must NOT be served from the stale cache entry.
         monkeypatch.setenv("SENSORIUM_FOLD_ASSIGNMENT", "trial")
         trial_tiers = mouse_data_mod.get_folds_tiers(mouse, 7)

@@ -1364,3 +1364,190 @@ class TestBf16InputStaging:
             ratio=0.36,
         )
         assert model._stage_inputs(x) is x  # staging reverts to f32
+
+
+class TestMaskedCellSafety:
+    """Zero-weight cells are masked by SELECTION, not multiplication.
+
+    The reference indexes ``input_tensor[mask]`` before the loss runs
+    (losses.py:17-20), so unsupervised cells are never evaluated.  Those
+    cells receive no gradient and drift over training; a drifted log-rate
+    overflowing ``exp`` to inf must poison neither the loss (inf * 0 ->
+    NaN) nor the shared-weight gradients (the vjp of ``exp`` at the
+    overflowed cell)."""
+
+    def _hot_batch(self, hot_value):
+        num_mice, batch, neurons, frames = 2, 3, 4, 2
+        prediction = np.full((num_mice, batch, neurons, frames), 0.5, np.float32)
+        prediction[1] = hot_value  # mouse-1 columns are unsupervised below
+        weights = np.zeros((batch, num_mice), np.float32)
+        weights[:, 0] = 1.0
+        target = np.ones((batch, neurons, frames), np.float32)
+        return prediction, target, weights
+
+    def test_log_input_poisson_is_immune_to_masked_overflow(self):
+        from sensorium_tpu.engine.losses import get_loss
+
+        # exp(200) overflows f32 — but only at zero-weight cells.
+        pred, target, weights = self._hot_batch(hot_value=200.0)
+        neuron_mask = np.ones((2, 4), np.float32)
+        loss_fn = get_loss(
+            "PoissonNLLLoss", {"log_input": True}, neuron_mask=neuron_mask
+        )
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, jnp.asarray(target), jnp.asarray(weights))
+        )(jnp.asarray(pred))
+        grads = np.asarray(grads)
+        assert np.isfinite(float(loss))
+        assert np.all(np.isfinite(grads))
+        # Reference semantics: masked cells receive exactly zero gradient.
+        assert np.all(grads[1] == 0.0)
+        assert np.any(grads[0] != 0.0)
+
+    @pytest.mark.parametrize("name", ["L1Loss", "MSELoss", "SmoothL1Loss", "HuberLoss"])
+    def test_stock_losses_are_immune_to_masked_inf(self, name):
+        from sensorium_tpu.engine.losses import get_loss
+
+        pred, target, weights = self._hot_batch(hot_value=np.inf)
+        loss_fn = get_loss(name, {})
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, jnp.asarray(target), jnp.asarray(weights))
+        )(jnp.asarray(pred))
+        assert np.isfinite(float(loss)), name
+        assert np.all(np.isfinite(np.asarray(grads))), name
+
+
+class _DummyCkptModel:
+    def save(self, path, background=False):
+        from pathlib import Path
+
+        Path(path).write_bytes(b"model")
+
+    def save_train_state(self, path, extra=None, background=False):
+        from pathlib import Path
+
+        Path(path).write_bytes(b"state")
+
+
+class TestCheckpointBetter:
+    def test_rejects_unknown_better(self, tmp_path):
+        # "Max"/"maximize" would silently sort ascending and keep the
+        # WORST checkpoints; only min/max/auto are meaningful.
+        with pytest.raises(ValueError, match="better"):
+            Checkpoint(tmp_path, better="maximize")
+
+    def test_auto_min_keeps_lowest_loss(self, tmp_path):
+        cb = Checkpoint(
+            tmp_path,
+            file_format="model-{epoch:03d}-{val_loss:.6f}.ckpt",
+            monitor="val_loss",
+            better="auto",  # "loss" monitor -> min
+            max_saves=1,
+        )
+        state = EngineState(model=_DummyCkptModel())
+        for epoch, score in [(0, 2.0), (1, 1.0), (2, 3.0)]:
+            state.global_epoch = epoch
+            state.metrics = {"val_loss": score}
+            cb.epoch_complete(state)
+        kept = list(tmp_path.glob("model-*.ckpt"))
+        assert len(kept) == 1
+        assert "1.000000" in kept[0].name
+
+
+class TestCSVHeaderDrift:
+    def test_header_union_keeps_columns_aligned(self, tmp_path):
+        """A later fit appending rows with a different metric set (a stage
+        without val keys, a new metric on resume) must not land values
+        under the wrong header columns."""
+        import csv as csv_mod
+
+        from sensorium_tpu.engine.callbacks import LoggingToCSV
+
+        path = tmp_path / "log.csv"
+        first = LoggingToCSV(path)
+        state = EngineState(model=None)
+        state.global_epoch = 0
+        state.metrics = {"train_loss": 1.0, "val_loss": 2.0}
+        first.epoch_complete(state)
+
+        resumed = LoggingToCSV(path, append=True)  # fresh callback instance
+        state.global_epoch = 1
+        state.metrics = {"train_loss": 0.5, "epoch_time": 3.0}
+        resumed.epoch_complete(state)
+
+        with open(path, newline="") as handle:
+            rows = list(csv_mod.DictReader(handle))
+        assert rows[0]["val_loss"] == "2.0" and rows[0]["epoch_time"] == ""
+        assert rows[1]["val_loss"] == "" and rows[1]["epoch_time"] == "3.0"
+        assert [r["train_loss"] for r in rows] == ["1.0", "0.5"]
+
+
+class TestModelApiHardening:
+    def test_iter_size_must_divide_batch(self):
+        """The reference's deep_chunk allows uneven chunks (11/11/10); the
+        static-shape lax.scan cannot — the error must say so, not crash in
+        an opaque reshape trace."""
+        model = MouseModel(tiny_params(iter_size=3))
+        model.build_state(seed=0, learning_rate=1e-3)
+        batch = random_batch(np.random.default_rng(0), batch=4)
+        with pytest.raises(ValueError, match="iter_size"):
+            model.train_step(batch)
+
+    def test_set_ema_after_build_state(self):
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-2)
+        assert model.state.ema_params is None
+        rng = np.random.default_rng(2)
+        batch = random_batch(rng)
+        model.train_step(batch)  # bakes use_ema=False into a cached step
+
+        model.set_ema(0.9)  # must create EMA trees AND invalidate the step
+        assert model.state.ema_params is not None
+        before = np.asarray(
+            jax.tree_util.tree_leaves(model.state.ema_params)[0]
+        ).copy()
+        loss = model.train_step(batch)
+        assert np.isfinite(float(loss))
+        after = np.asarray(jax.tree_util.tree_leaves(model.state.ema_params)[0])
+        assert not np.array_equal(before, after)  # EMA actually updated
+
+        model.set_ema(0.0)  # and back off: trees dropped, step rebuilt
+        assert model.state.ema_params is None
+        assert np.isfinite(float(model.train_step(batch)))
+
+    def test_example_input_matches_processor_layout(self):
+        """inputs_processor size is (width, height); batches are
+        (..., height, width) — the init canvas must match, or non-square
+        configs would trace init on a transposed geometry."""
+        params = tiny_params()
+        params = dict(
+            params,
+            inputs_processor=("stack_inputs", {"size": (16, 8), "pad_fill_value": 0.0}),
+        )
+        model = MouseModel(params)
+        assert model.example_input().shape[-2:] == (8, 16)
+
+    def test_second_model_keeps_installed_log_handlers(self, tmp_path):
+        """MouseModel construction must not clear the shared logger's
+        handlers (a distillation teacher / Predictor built mid-run would
+        silently drop log.txt)."""
+        import logging
+
+        from sensorium_tpu.engine.callbacks import build_logger
+
+        logger = logging.getLogger("sensorium")
+        added = [h for h in logger.handlers]
+        try:
+            build_logger(tmp_path / "log.txt")
+            count = lambda: sum(
+                isinstance(h, logging.FileHandler) for h in logger.handlers
+            )
+            assert count() == 1
+            MouseModel(tiny_params())
+            assert count() == 1  # constructor preserved the file handler
+            build_logger(tmp_path / "log.txt")  # idempotent: no duplicate
+            assert count() == 1
+        finally:
+            for handler in [h for h in logger.handlers if h not in added]:
+                logger.removeHandler(handler)
+                handler.close()
