@@ -32,6 +32,7 @@ from sensorium_tpu.engine.optimizers import clip_grad_norm, get_optimizer
 from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
 from sensorium_tpu.engine.state import TrainState
 from sensorium_tpu.engine.steps import make_predict_step, make_train_step, make_val_step
+from sensorium_tpu.models.dwiseneuro import neuron_validity_mask
 from sensorium_tpu.models.registry import get_nn_module
 from sensorium_tpu.parallel import mesh as mesh_lib
 from sensorium_tpu.utils.profiling import annotate
@@ -54,11 +55,7 @@ class MouseModel:
         # (M, N_max) real-neuron mask so log_input=True Poisson forms stay
         # exact under the padded batch layout (see losses.get_loss).
         outputs = getattr(self.nn_module, "readout_outputs", None)
-        neuron_mask = None
-        if outputs is not None:
-            neuron_mask = np.zeros((len(outputs), max(outputs)), np.float32)
-            for m, n in enumerate(outputs):
-                neuron_mask[m, :n] = 1.0
+        neuron_mask = neuron_validity_mask(outputs) if outputs is not None else None
         self.loss_fn = get_loss(loss_name, loss_params, neuron_mask=neuron_mask)
         self.optimizer_spec = params.get("optimizer", ("AdamW", {"lr": 1e-3}))
         # Optional global-norm gradient clipping (torch clip_grad_norm_

@@ -33,6 +33,7 @@ from jax import export as jax_export
 from jax.sharding import NamedSharding, PartitionSpec
 
 from sensorium_tpu.ops.conv import portable_dots
+from sensorium_tpu.parallel import mesh as mesh_lib
 
 EXPORT_SUFFIX = ".stablehlo"
 
@@ -176,13 +177,17 @@ def export_trial(
         windows = windows.reshape(-1, chunk, gen.size)
         valid = valid.reshape(-1, chunk)
         if mesh is not None:
-            # Spread each chunk's window forwards over the data axis —
-            # same layout as the live sharded predictor (_jit_kwargs).
+            # Spread each chunk's window forwards over ALL data-like axes —
+            # same layout as the live sharded predictor (_jit_kwargs).  A
+            # hybrid (replica, data, model) mesh must shard over both
+            # batch axes, or every replica slice would redundantly
+            # recompute identical window forwards.
+            batch_axes = mesh_lib.data_axes(mesh)
             windows = jax.lax.with_sharding_constraint(
-                windows, NamedSharding(mesh, PartitionSpec(None, "data", None))
+                windows, NamedSharding(mesh, PartitionSpec(None, batch_axes, None))
             )
             valid = jax.lax.with_sharding_constraint(
-                valid, NamedSharding(mesh, PartitionSpec(None, "data"))
+                valid, NamedSharding(mesh, PartitionSpec(None, batch_axes))
             )
         return predictor._scan_windows(
             trial_inputs, params, batch_stats, windows, valid, mouse_index

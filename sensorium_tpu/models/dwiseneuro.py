@@ -268,16 +268,20 @@ class DwiseNeuro(nn.Module):
       predictions; otherwise (B, readout_outputs[mouse_index], T).
     """
 
+    # Defaults pin the reference's user-facing constructor signature
+    # (/root/reference/src/models/dwiseneuro.py:343-357): constructing
+    # DwiseNeuro(readout_outputs=...) with no further arguments must give
+    # the same 9-block architecture there and here.
     readout_outputs: Sequence[int]
     in_channels: int = 5
-    core_features: Sequence[int] = (64, 128, 256, 512)
-    spatial_strides: Sequence[int] = (2, 2, 2, 2)
+    core_features: Sequence[int] = (64, 64, 64, 64, 128, 128, 128, 256, 256)
+    spatial_strides: Sequence[int] = (2, 1, 1, 1, 2, 1, 1, 2, 1)
     spatial_kernel: int = 3
-    temporal_kernel: int = 3
-    expansion_ratio: int = 3
-    se_reduce_ratio: int = 16
+    temporal_kernel: int = 5
+    expansion_ratio: int = 6
+    se_reduce_ratio: int = 32
     cortex_features: Sequence[int] = (1024, 2048, 4096)
-    groups: int = 1
+    groups: int = 2
     softplus_beta: float = 0.07
     # Trainable per-readout softplus beta, initialized at ``softplus_beta``
     # (the reference author's README.md:112-133 experiment: the trained
@@ -285,8 +289,8 @@ class DwiseNeuro(nn.Module):
     # shipped config — the reference found it slightly worse — but exposed
     # so a config can flip it on to auto-tune beta.
     learnable_softplus: bool = False
-    drop_rate: float = 0.0
-    drop_path_rate: float = 0.0
+    drop_rate: float = 0.4
+    drop_path_rate: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
     readout_pad_multiple: int = 128
     # Rematerialize core blocks in the backward pass: the inverted
@@ -321,6 +325,14 @@ class DwiseNeuro(nn.Module):
         features = tuple(self.core_features)
         strides = tuple(self.spatial_strides)
         num_blocks = len(features)
+        # Reference assert (dwiseneuro.py:304): a mismatched strides tuple
+        # must be a clear config error, not a silently ignored extra
+        # stride or an opaque IndexError inside jit tracing.
+        if len(strides) != num_blocks:
+            raise ValueError(
+                f"spatial_strides has {len(strides)} entries for "
+                f"{num_blocks} core blocks (core_features {features})"
+            )
 
         w_stem = self.param(
             "stem_kernel", kaiming_normal_out(features[0]), (self.in_channels, features[0])

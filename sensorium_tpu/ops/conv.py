@@ -107,13 +107,18 @@ def einsum_f32(spec: str, *operands: jax.Array) -> jax.Array:
     return jnp.einsum(spec, *operands, preferred_element_type=jnp.float32)
 
 
-def pointwise(x: jax.Array, kernel: jax.Array, preferred_dtype=None) -> jax.Array:
-    """1x1 conv over the trailing channel axis: (..., Cin) @ (Cin, Cout)."""
+def pointwise(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """1x1 conv over the trailing channel axis: (..., Cin) @ (Cin, Cout).
+
+    Accumulation policy comes from ``accum_dtype`` alone (no per-call
+    override): one authoritative path keeps the CPU/export fallback
+    semantics in a single place.
+    """
     return jax.lax.dot_general(
         x,
         kernel,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=accum_dtype(x) if preferred_dtype is None else preferred_dtype,
+        preferred_element_type=accum_dtype(x),
     ).astype(x.dtype)
 
 

@@ -355,6 +355,15 @@ def _dw_temporal_kernel(x_ref, w_ref, out_ref, *, k: int):
 def _dw_temporal_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """x (B, T, H, W, C), kernel (k, C) -> same shape ('same' padding)."""
     k = kernel.shape[0]
+    if k % 2 == 0:
+        # Even k with (k//2, k//2) torch padding yields T+1 output frames
+        # (what the XLA lowering returns); this kernel's T-sized output —
+        # and the flipped-tap dL/dx identity in the VJP — hold for odd k
+        # only.  Same opt-in-backend contract as the stride guards.
+        raise NotImplementedError(
+            "Pallas dw_temporal supports odd temporal kernels only; "
+            "use the XLA path (SENSORIUM_DW_IMPL=xla) for even kernels"
+        )
     pad = k // 2
     b, t, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))

@@ -27,8 +27,21 @@ def create_mesh(
     """Build a ``(data, model)`` mesh over the available devices."""
     if devices is None:
         devices = jax.devices()
-    if num_data is None:
+    auto_data = num_data is None
+    if auto_data:
         num_data = len(devices) // num_model
+    # Same contract as create_hybrid_mesh: a non-factoring AUTO mesh (e.g.
+    # num_model=3 on 8 chips) must be a loud error, not a silent 6-chip
+    # mesh training at 75% of the machine.  An EXPLICIT smaller num_data
+    # is a deliberate subset (the export CLI lowers k-device programs on
+    # larger hosts); asking for more than exists is always an error.
+    if num_data * num_model > len(devices) or (
+        auto_data and num_data * num_model != len(devices)
+    ):
+        raise ValueError(
+            f"mesh {num_data}x{num_model} (data x model) does not fit the "
+            f"{len(devices)} available devices; pick factors of the slice"
+        )
     devices = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
     return Mesh(devices, axis_names=("data", "model"))
 

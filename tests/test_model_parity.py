@@ -221,3 +221,47 @@ class TestLearnableSoftplus:
         g = np.asarray(grads["readout_softplus_beta"])
         assert g.shape == (len(READOUT_OUTPUTS),)
         assert np.all(np.isfinite(g)) and np.all(g != 0.0)
+
+
+class TestConstructorDefaults:
+    @pytest.mark.skipif(
+        not Path("/root/reference").exists(), reason="reference repo not mounted"
+    )
+    def test_defaults_match_reference_signature(self):
+        """DwiseNeuro(readout_outputs=...) with no further arguments must
+        build the same architecture as the reference's user-facing
+        constructor (/root/reference/src/models/dwiseneuro.py:343-357) —
+        a migrating user constructing the model directly gets the 9-block
+        reference geometry, not some internal default."""
+        import ast
+
+        source = Path("/root/reference/src/models/dwiseneuro.py").read_text()
+        tree = ast.parse(source)
+        init = next(
+            node
+            for cls in ast.walk(tree)
+            if isinstance(cls, ast.ClassDef) and cls.name == "DwiseNeuro"
+            for node in cls.body
+            if isinstance(node, ast.FunctionDef) and node.name == "__init__"
+        )
+        args = init.args.args[1:]  # drop self
+        defaults = dict(
+            zip(
+                [a.arg for a in args[len(args) - len(init.args.defaults):]],
+                [ast.literal_eval(d) for d in init.args.defaults],
+            )
+        )
+        ours = DwiseNeuro(readout_outputs=(4,))
+        for name, expected in defaults.items():
+            actual = getattr(ours, name)
+            actual = tuple(actual) if isinstance(actual, (list, tuple)) else actual
+            assert actual == expected, f"default {name}: {actual} != reference {expected}"
+
+
+def test_mismatched_strides_is_a_clear_config_error():
+    """Reference assert parity (dwiseneuro.py:304): extra strides must not
+    be silently ignored, short ones must not IndexError mid-trace."""
+    bad = DwiseNeuro(**{**MODEL_KWARGS, "spatial_strides": (2, 1, 1)})
+    x = np.zeros((1, 5, 4, 16, 16), np.float32)
+    with pytest.raises(ValueError, match="spatial_strides"):
+        bad.init(jax.random.PRNGKey(0), x)

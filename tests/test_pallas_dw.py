@@ -114,3 +114,13 @@ def test_model_forward_with_pallas(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected), rtol=1e-4, atol=5e-4
     )
+
+
+def test_even_temporal_kernel_is_rejected():
+    """Even k with (k//2, k//2) torch padding yields T+1 frames (the XLA
+    lowering's output); the Pallas kernel's T-sized output and flipped-tap
+    VJP identity hold for odd k only — it must refuse, not diverge."""
+    x = jnp.zeros((1, 4, 2, 8, 8), jnp.float32)
+    kernel = jnp.zeros((4, 8), jnp.float32)
+    with pytest.raises(NotImplementedError, match="odd"):
+        pallas_dw.dw_temporal(x, kernel)

@@ -530,3 +530,23 @@ class TestRaggedBatches:
         model.build_state(seed=0, learning_rate=1e-3)
         with pytest.raises(ValueError, match="drop_last"):
             model.train_step(batch)
+
+
+class TestMeshFactoring:
+    """create_mesh must not silently train on a subset of the machine."""
+
+    def test_auto_data_must_cover_all_devices(self):
+        # 8 devices, num_model=3: auto num_data floors to 2 -> a 6-chip
+        # mesh would silently run at 75% of the machine.
+        with pytest.raises(ValueError, match="does not fit"):
+            create_mesh(num_model=3)
+
+    def test_explicit_subset_is_allowed(self):
+        # The export CLI deliberately lowers k-device programs on larger
+        # hosts (infer/export.py mesh_data).
+        mesh = create_mesh(num_data=4)
+        assert mesh.shape == {"data": 4, "model": 1}
+
+    def test_oversubscription_is_an_error(self):
+        with pytest.raises(ValueError, match="does not fit"):
+            create_mesh(num_data=16, num_model=2)
