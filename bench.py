@@ -191,15 +191,19 @@ def measure_train(trace_dir: str | None = None) -> dict:
     return detail
 
 
-def measure_train_subprocess(dw_impl: str) -> dict:
+def measure_train_subprocess(dw_impl: str, trace_dir: str | None = None) -> dict:
     """Measure one dw backend in a fresh process (jit caches are sticky)."""
     import subprocess
 
     env = dict(os.environ)
     env["SENSORIUM_DW_IMPL"] = dw_impl
-    env["SENSORIUM_BENCH_CHILD"] = "1"
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if trace_dir:
+        # Per-backend subdirectory: both children tracing into one dir
+        # would interleave their profiles.
+        cmd += ["--trace", os.path.join(trace_dir, dw_impl)]
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -732,8 +736,11 @@ def main():
 
     enable_compilation_cache()
 
-    if not args.loader:
-        # Every mode except --loader needs the device.  When the TPU
+    if not (args.loader or args.ab):
+        # Every mode except --loader needs the device (--ab must NOT init
+        # it in the parent: on a standard TPU VM the parent would then own
+        # every chip exclusively and both A/B children would fail backend
+        # init; each child runs its own _init_backend_or_die watchdog).  When the TPU
         # endpoint is unreachable (e.g. a down tunnel) backend discovery
         # blocks forever inside the PJRT plugin with no exception to
         # catch — emit the contract JSON line and exit nonzero instead of
@@ -845,7 +852,10 @@ def main():
         return
 
     if args.ab:
-        detail = {impl: measure_train_subprocess(impl) for impl in ("xla", "pallas")}
+        detail = {
+            impl: measure_train_subprocess(impl, trace_dir=args.trace)
+            for impl in ("xla", "pallas")
+        }
         winner = max(detail, key=lambda i: detail[i]["train_clips_per_sec"])
         clips = detail[winner]["train_clips_per_sec"]
         detail["winner"] = winner

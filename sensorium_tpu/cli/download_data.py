@@ -82,19 +82,35 @@ def download_mouse(mouse: str, sensorium_dir: Path) -> None:
     mouse_dir = sensorium_dir / mouse
 
     if mouse_dir.exists():
-        print(f"Folder '{mouse_dir}' already exists, skip download")
-        # The back-fill may still be pending (e.g. deeplake was not
-        # installed on the first run); repair it on rerun.
-        if mouse in constants.old_mice and missing_backfill_trials(mouse_dir):
-            backfill_old_mouse_responses(mouse, mouse_dir)
-        return
+        if (mouse_dir / "meta" / "trials" / "tiers.npy").exists():
+            print(f"Folder '{mouse_dir}' already exists, skip download")
+            # The back-fill may still be pending (e.g. deeplake was not
+            # installed on the first run); repair it on rerun.
+            if mouse in constants.old_mice and missing_backfill_trials(mouse_dir):
+                backfill_old_mouse_responses(mouse, mouse_dir)
+            return
+        # An interrupted extract left a partial tree (no trial metadata);
+        # skipping it forever would later fail training on a truncated
+        # mouse.  Wipe and redo.
+        print(f"Folder '{mouse_dir}' is incomplete (no meta/trials/tiers.npy), re-downloading")
+        shutil.rmtree(mouse_dir)
 
     download_file(url, zip_path)
     print("Unzip", zip_path)
+    # Extract into a staging dir and commit with one rename, so a Ctrl-C
+    # or disk-full mid-extract can never leave a half-written mouse_dir
+    # that a rerun would mistake for complete.
+    staging = sensorium_dir / f".{mouse}.extracting"
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir()
     with zipfile.ZipFile(zip_path, "r") as zip_file:
-        zip_file.extractall(sensorium_dir)
+        zip_file.extractall(staging)
     zip_path.unlink()
-    shutil.rmtree(sensorium_dir / "__MACOSX", ignore_errors=True)
+    extracted = staging / mouse
+    if not extracted.is_dir():
+        raise RuntimeError(f"archive '{file_name}' did not contain a '{mouse}/' folder")
+    extracted.rename(mouse_dir)
+    shutil.rmtree(staging, ignore_errors=True)
 
     if mouse in constants.old_mice:
         backfill_old_mouse_responses(mouse, mouse_dir)

@@ -123,45 +123,19 @@ def init_multihost(spec: str) -> None:
 
 
 def probe_device_count() -> int:
-    """Local accelerator count, probed in a THROWAWAY subprocess.
+    """Local accelerator count via the shared killable-subprocess probe
+    (``sensorium_tpu.utils.misc.probe_jax_device_count``) — the parent
+    must never initialize a backend itself."""
+    from sensorium_tpu.utils.misc import probe_jax_device_count
 
-    The orchestrating parent must never initialize a JAX backend (a TPU
-    process owns every chip it touches, starving the fold children), so
-    the probe initializes — and, by exiting, releases — the backend in a
-    child process.
-    """
-    import subprocess
-    import sys
-
-    # The child honors the same overrides main() applies via
-    # jax.config.update (env-only platform selection is unreliable once a
-    # TPU plugin is installed — same pattern as __graft_entry__'s dryrun).
-    code = (
-        "import os, jax\n"
-        "p = (os.environ.get('SENSORIUM_JAX_PLATFORM')\n"
-        "     or os.environ.get('JAX_PLATFORMS'))\n"
-        "c = os.environ.get('SENSORIUM_CPU_DEVICES')\n"
-        "if p: jax.config.update('jax_platforms', p)\n"
-        "if c: jax.config.update('jax_num_cpu_devices', int(c))\n"
-        "print(len(jax.devices()))"
-    )
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=300,
-        )
-    except subprocess.TimeoutExpired:
-        # Backend discovery can hang (not raise) when a TPU endpoint is
-        # unreachable; a hung probe must not hang the orchestrator.
-        raise RuntimeError(
-            "device-count probe timed out after 300s — device endpoint "
-            "unreachable? Pass an explicit --fold-procs N instead of auto"
-        ) from None
-    if proc.returncode != 0:
-        raise RuntimeError(f"device-count probe failed:\n{proc.stderr[-1000:]}")
-    return int(proc.stdout.strip().splitlines()[-1])
+        return probe_jax_device_count(timeout_s=300.0, strict=True)
+    except RuntimeError as exc:
+        if "timed out" in str(exc):
+            raise RuntimeError(
+                f"{exc} Pass an explicit --fold-procs N instead of auto"
+            ) from None
+        raise
 
 
 def resolve_fold_procs(value) -> int:
@@ -307,7 +281,13 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
                         )
 
         # Parent preempted: wait for the signaled children to save their
-        # resume state and exit, then reap them.
+        # resume state and exit, then reap them.  Re-signal first: a child
+        # spawned in the window between Popen() and its `running[...] = `
+        # registration never saw the handler's terminate().
+        if terminated["signal"] is not None:
+            for proc in list(running):
+                if proc.poll() is None:
+                    proc.terminate()
         for proc in list(running):
             fold, slot, logfile = running.pop(proc)
             try:
@@ -324,8 +304,26 @@ def run_parallel_folds(args, folds_splits: list[str], experiment_dir: Path) -> N
             signal.signal(sig, handler)
 
     if terminated["signal"] is not None:
-        print(f"[fold-procs] caught signal {terminated['signal']}; children "
-              "saved their resume state. Rerun with --resume.")
+        # Report what ACTUALLY happened per child: exit 75 confirms the
+        # mid-epoch resume save; anything else (reap-timeout SIGKILL, a
+        # child signaled mid-save, a crash) means its resume state may be
+        # stale — claiming "children saved" unconditionally would have the
+        # operator resume from a stale epoch believing progress was kept.
+        saved = sorted(f for f, rc in exit_codes.items() if rc == 75)
+        completed = sorted(f for f, rc in exit_codes.items() if rc == 0)
+        unconfirmed = sorted(f for f, rc in exit_codes.items() if rc not in (0, 75))
+        print(f"[fold-procs] caught signal {terminated['signal']}.")
+        if completed:
+            print(f"[fold-procs] completed before the signal: {completed}")
+        if saved:
+            print(f"[fold-procs] resume state saved (exit 75): {saved}")
+        if unconfirmed:
+            print(
+                f"[fold-procs] resume state NOT confirmed for {unconfirmed} "
+                "(killed or crashed before finishing the save) — --resume "
+                "restarts those folds from their last completed save."
+            )
+        print("[fold-procs] rerun with --resume.")
         raise SystemExit(75)
     preempted = sorted(f for f, rc in exit_codes.items() if rc == 75)
     failed = sorted(f for f, rc in exit_codes.items() if rc not in (0, 75))
@@ -436,7 +434,13 @@ def train_mouse(
     iters_per_epoch = len(train_dataset) // config["batch_size"]
     stage_epochs = dict(zip(config["stages"], config["num_epochs"]))
     warmup_iters = iters_per_epoch * stage_epochs.get("warmup", 0)
-    train_iters = iters_per_epoch * stage_epochs.get("train", 0)
+    # The cosine (or registry scheduler) span covers EVERY post-warmup
+    # epoch, not only a stage literally named "train" — a three-stage
+    # plan ['warmup','train','tune'] decays across train+tune.
+    post_warmup_epochs = sum(
+        epochs for stage, epochs in stage_epochs.items() if stage != "warmup"
+    )
+    train_iters = iters_per_epoch * post_warmup_epochs
     peak_lr = argus_params["optimizer"][1]["lr"]
     min_lr = get_lr(config["min_base_lr"], config["batch_size"])
     schedule = build_stage_schedule(
@@ -492,6 +496,7 @@ def train_mouse(
     # One handler spans all stages: a signal latched near a stage boundary
     # must not be lost when a per-stage handler scope ends.
     with PreemptionHandler() as preemption:
+        stage_offset = 0  # global epoch index where the current stage starts
         for num_epochs, stage in zip(config["num_epochs"], config["stages"]):
             callbacks = [Timer()]
             if is_primary:
@@ -522,7 +527,11 @@ def train_mouse(
                             train_state_name=state_name,
                         )
                     )
-            stage_start = 0 if stage == "warmup" else stage_epochs.get("warmup", 0)
+            # Cumulative, not the warmup-only special case: a third stage
+            # must start after ALL previous stages' epochs, or its global
+            # epoch numbering collides and --resume skips it wholesale.
+            stage_start = stage_offset
+            stage_offset += num_epochs
             skip = max(0, start_epoch - stage_start)
             if skip >= num_epochs:
                 print(f"Stage '{stage}' already completed, skipping")

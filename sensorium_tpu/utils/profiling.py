@@ -51,7 +51,13 @@ def sync(tree=None) -> None:
         return
     leaves = jax.tree_util.tree_leaves(tree)
     if leaves:
-        np.asarray(jax.device_get(leaves[-1]))
+        leaf = leaves[-1]
+        # ONE scalar, never the whole leaf: a flagship readout kernel is
+        # ~660 MB, which is ~a minute through the ~11 MB/s axon tunnel —
+        # fetched on section entry AND exit it would swamp the timing.
+        if getattr(leaf, "ndim", 0):
+            leaf = leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf
+        np.asarray(jax.device_get(leaf))
 
 
 class Stopwatch:

@@ -113,6 +113,37 @@ class TestTrainCLI:
         out = capsys.readouterr().out
         assert "Resumed from epoch" in out
 
+    def test_three_stage_plan_numbers_epochs_cumulatively(self, synth_env, capsys):
+        """A stage beyond ['warmup','train'] starts after ALL previous
+        stages' epochs: global epoch numbering must not collide and
+        --resume must not skip the extra stage wholesale."""
+        import json
+
+        from sensorium_tpu.cli.train import train_mouse
+
+        config = tiny_experiment_config()
+        config["stages"] = ["warmup", "train", "tune"]
+        config["num_epochs"] = [1, 2, 1]
+        save_dir = constants.experiments_dir / "three_stage" / "fold_1"
+        val_splits = ["fold_1"]
+        train_splits = sorted(set(constants.folds_splits) - set(val_splits))
+        train_mouse(config, save_dir, train_splits, val_splits, mesh=None, seed=0)
+        records = [
+            json.loads(line)
+            for line in (save_dir / "log.jsonl").read_text().splitlines()
+        ]
+        assert [(r["stage"], r["epoch"]) for r in records] == [
+            ("warmup", 0), ("train", 1), ("train", 2), ("tune", 3),
+        ]
+        capsys.readouterr()
+        # Resume after completion: every stage (incl. tune) reports done.
+        train_mouse(
+            config, save_dir, train_splits, val_splits, mesh=None, seed=0, resume=True
+        )
+        out = capsys.readouterr().out
+        assert "Resumed from epoch 4" in out
+        assert out.count("already completed") == 3
+
 
 class TestPredictionPipeline:
     def test_sliding_window_blend_matches_sequential(self, trained_fold):

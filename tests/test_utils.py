@@ -139,3 +139,16 @@ class TestPredictDeviceFlag:
         # failure must not be mislabeled as an unknown platform name).
         with pytest.raises(SystemExit, match="could not initialize"):
             select_device("nosuchplatform")
+
+
+def test_best_model_path_honors_negative_scores(tmp_path):
+    """'model-003--0.500000.ckpt' is val_corr -0.5 (Checkpoint formats
+    {val_corr:.6f} after the epoch's own dash); ranking by |score| would
+    load a worse-than-zero model as best (CV-smoke runs produce these)."""
+    from sensorium_tpu.utils import get_best_model_path
+
+    for name in ("model-003--0.500000.ckpt", "model-004-0.100000.ckpt"):
+        (tmp_path / name).write_bytes(b"x")
+    best, score = get_best_model_path(tmp_path, return_score=True)
+    assert best.name == "model-004-0.100000.ckpt"
+    assert score == 0.1
