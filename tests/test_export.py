@@ -281,6 +281,51 @@ class TestExportTrial:
         got = np.asarray(artifact.call(*args))[:, :length]
         np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-4)
 
+    def test_hybrid_mesh_artifact_matches_unsharded(
+        self, ckpt_path, predictor, tmp_path
+    ):
+        """export_trial on a (replica, data, model) hybrid mesh must shard
+        window chunks over BOTH batch axes (mesh.data_axes), matching the
+        live predictor's _jit_kwargs — not hardcode 'data'."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from sensorium_tpu.parallel.mesh import create_hybrid_mesh
+
+        mesh = create_hybrid_mesh(num_slices=2, num_data=2, num_model=2)
+        sharded = Predictor(
+            ckpt_path, chunk_size=self.CHUNK, length_bucket=self.BUCKET, mesh=mesh
+        )
+        artifact = load_exported(
+            save_exported(
+                tmp_path / "hybrid.trial.stablehlo",
+                export_trial(
+                    sharded, mouse_index=1, src_hw=(12, 16), platforms=("cpu",)
+                ),
+            )
+        )
+        assert artifact.nr_devices == 8
+
+        length = 37
+        video, behavior, pupil_center = _trial_arrays(length, seed=11)
+        want = predictor.predict_trial(video, behavior, pupil_center, 1)
+
+        padded = -(-length // self.BUCKET) * self.BUCKET
+        tpad = padded - length
+        planes = np.ascontiguousarray(np.transpose(video, (2, 0, 1)))
+        rep = NamedSharding(mesh, PartitionSpec())
+        args = [
+            jax.device_put(a, rep)
+            for a in (
+                np.pad(planes, ((0, tpad), (0, 0), (0, 0))),
+                np.pad(behavior, ((0, 0), (0, tpad))),
+                np.pad(pupil_center, ((0, 0), (0, tpad))),
+                np.int32(length),
+            )
+        ]
+        got = np.asarray(artifact.call(*args))[:, :length]
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-4)
+
     def test_cli_trial_flow(self, ckpt_path, tmp_path, monkeypatch, capsys):
         from sensorium_tpu.cli import export as export_cli
 
