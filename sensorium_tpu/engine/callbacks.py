@@ -38,6 +38,10 @@ class Callback:
     def epoch_complete(self, state: EngineState) -> None:  # pragma: no cover - hook
         pass
 
+    def fit_complete(self, state: EngineState) -> None:  # pragma: no cover - hook
+        """Called once when fit() ends — normally, preempted, or on error."""
+        pass
+
 
 def build_logger(log_path: Path | None = None, append: bool = True) -> logging.Logger:
     """Idempotently wire the shared 'sensorium' logger.
@@ -85,6 +89,20 @@ class LoggingToFile(Callback):
             handler = logging.FileHandler(self.file_path, mode="a" if self.append else "w")
             handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
             state.logger.addHandler(handler)
+
+    def fit_complete(self, state: EngineState) -> None:
+        # The 'sensorium' logger is process-global: leaving this handler
+        # attached would mirror every LATER fold/stage's lines into this
+        # fold's log.txt (and leak the fd).  epoch_start re-attaches on the
+        # next stage, so detaching here is safe for multi-stage fits.
+        for handler in [
+            h
+            for h in state.logger.handlers
+            if isinstance(h, logging.FileHandler)
+            and Path(getattr(h, "baseFilename", "")) == self.file_path.resolve()
+        ]:
+            state.logger.removeHandler(handler)
+            handler.close()
 
 
 class LoggingToCSV(Callback):

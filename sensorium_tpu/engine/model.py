@@ -388,6 +388,22 @@ class MouseModel:
                 )
                 raise TrainingPreempted(preemption_save_path)
 
+        try:
+            self._fit_epochs(
+                engine_state, train_loader, val_loader, num_epochs, callbacks,
+                metrics, stage, start_epoch, check_preempted,
+            )
+        finally:
+            # Runs on normal completion, preemption AND errors: callbacks
+            # holding process-global resources (LoggingToFile's handler on
+            # the shared logger) must release them per-fit.
+            for callback in callbacks:
+                callback.fit_complete(engine_state)
+
+    def _fit_epochs(
+        self, engine_state, train_loader, val_loader, num_epochs, callbacks,
+        metrics, stage, start_epoch, check_preempted,
+    ) -> None:
         for epoch in range(num_epochs):
             engine_state.epoch = epoch
             engine_state.global_epoch = start_epoch + epoch
