@@ -88,21 +88,37 @@ def mice_poisson_loss(
     with ``log_input=True`` a drifted log-rate > ~88.7 overflows
     ``exp`` to inf and ``inf * 0-weight`` would poison the whole loss
     (and, through the vjp of ``exp``, every shared-weight gradient).
-    The double-``where`` zeroes the prediction going IN and the
-    elementwise loss coming OUT, so neither pass materializes the inf.
+    Selection is applied at the CHEAPEST sufficient level per path:
+
+    - ``log_input=True``: the prediction is zeroed going in — protects
+      both the forward ``exp`` and its vjp (and pins masked grads to an
+      exact 0.0, the reference semantics).
+    - ``log_input=False`` (the production path): the guard is a
+      per-(mouse, batch)-cell ``where`` AFTER the (N, T) reduction.  The
+      forward is safe (an inf per_cell selects to 0) and the vjp is safe
+      without input masking: ``d elem/d pred = 1 - target/(pred+eps)``
+      is finite for every finite-or-inf pred >= 0, so the zero cotangent
+      annihilates it.  This keeps the (M, B, N, T)-sized loss fusion
+      free of extra selects.  Measured perf-neutral at flagship shape
+      (within the ±1% run band, 2026-08-20 A/B — the r02->r03 eval
+      regression was the shortcut lowering pin, docs/PERF.md "shortcut
+      lowering, revisited", NOT these selects); kept because it is the
+      minimal sufficient guard.
+
     Bit-identical to the weight-multiply form whenever everything is
     finite.
     """
     weights = weights / jnp.sum(weights)
-    active = (weights != 0.0).T[:, :, None, None]  # (M, B, 1, 1)
-    prediction = jnp.where(active, prediction, 0.0)
+    active_mb = weights.T != 0.0  # (M, B)
+    if log_input:
+        prediction = jnp.where(active_mb[:, :, None, None], prediction, 0.0)
     elem = poisson_nll(
         prediction, _broadcast_target(target, prediction), eps, log_input, full
     )  # (M, B, N, T)
-    elem = jnp.where(active, elem, 0.0)
     if neuron_mask is not None:
         elem = elem * neuron_mask[:, None, :, None]
     per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
+    per_cell = jnp.where(active_mb, per_cell, 0.0)
     return jnp.sum(per_cell * weights.T)
 
 
@@ -164,12 +180,17 @@ def _weighted_mice_reduce(elem_fn):
     def loss(prediction, target, weights, **kwargs):
         w = weights / jnp.sum(weights)
         # Same selection masking as mice_poisson_loss: unsupervised cells
-        # drift without gradient, so never evaluate the loss on them.
-        active = (w != 0.0).T[:, :, None, None]  # (M, B, 1, 1)
-        prediction = jnp.where(active, prediction, 0.0)
+        # drift without gradient, so never evaluate the loss on them.  The
+        # input-side where is required here for vjp safety (e.g. MSE's
+        # d/dp = 2(p - t) is inf at a drifted inf prediction; a zero
+        # cotangent times inf is NaN); the output guard then only needs
+        # per-cell size.  These registry losses are breadth, not the
+        # production hot path — mice_poisson_loss carries the lean form.
+        active_mb = w.T != 0.0  # (M, B)
+        prediction = jnp.where(active_mb[:, :, None, None], prediction, 0.0)
         elem = elem_fn(prediction, _broadcast_target(target, prediction), **kwargs)
-        elem = jnp.where(active, elem, 0.0)
         per_cell = jnp.sum(elem, axis=(2, 3))  # (M, B)
+        per_cell = jnp.where(active_mb, per_cell, 0.0)
         return jnp.sum(per_cell * w.T)
 
     return loss

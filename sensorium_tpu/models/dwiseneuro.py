@@ -151,10 +151,20 @@ class InvertedResidual3d(nn.Module):
         """Parameter-free shortcut: nearest spatial downsample + channel tile.
 
         TPU lowering notes: when the stride divides H and W, the nearest-index
-        gather ``idx[i] = i*h // out_h`` is exactly ``i*stride``, so it is
-        emitted as a strided slice (backward = a cheap pad) instead of a
-        gather (which XLA lowers to a while-loop forward and a scatter-add
-        backward — measured ~270 GB/s vs the step's ~600 GB/s roofline).
+        gather ``idx[i] = i*h // out_h`` is exactly ``i*stride``, so the
+        downsample is the basic-indexing form ``x[:, :, ::s, ::s]``.  jnp
+        lowers TWO strided axes in one getitem to a constant-iota
+        ``stablehlo.gather`` — and that form is the MEASURED-FASTEST
+        whole-model emission on a v5e: round 3 "pinned" an explicit
+        ``lax.slice`` here (clean ``stablehlo.slice``) and silently lost 8%
+        eval throughput (512-516 clips/s across 3 runs vs 553-557 for this
+        form; re-A/B'd 2026-08-20, an ``optimization_barrier`` variant also
+        516).  Isolated, the two forms time identically (29 vs 31 us) and
+        XLA:TPU keeps the gather as a kCustom fused dynamic-slice — the win
+        is a whole-model fusion/layout choice, pinned by measurement, not
+        mechanism (docs/PERF.md "shortcut lowering, revisited";
+        tests/test_lowering.py allows exactly this one gather per strided
+        block and still bans scatter/while).
         Likewise the channel tile is a minor-axis concatenate, which keeps
         the (8,128) tiled layout, rather than ``jnp.tile`` (a 6D broadcast
         in (2,128) layout). Both forms are bit-identical to the originals.
@@ -162,12 +172,7 @@ class InvertedResidual3d(nn.Module):
         _, _, h, w, c = x.shape
         if self.spatial_stride > 1:
             if h % self.spatial_stride == 0 and w % self.spatial_stride == 0:
-                # lax.slice, not x[:, :, ::s, ::s]: jnp's getitem lowers TWO
-                # strided axes in one expression to an iota-indexed gather
-                # (only XLA's gather simplifier saves it); the explicit slice
-                # is guaranteed to emit stablehlo.slice (tests/test_lowering.py).
-                s = self.spatial_stride
-                x = jax.lax.slice(x, (0,) * 5, x.shape, (1, 1, s, s, 1))
+                x = x[:, :, :: self.spatial_stride, :: self.spatial_stride]
             else:
                 out_h = math.ceil(h / self.spatial_stride)
                 out_w = math.ceil(w / self.spatial_stride)

