@@ -102,13 +102,24 @@ class MiceDataLoader:
             targets = np.zeros((b,) + target_shape, np.float32)
             weights = np.zeros((b, num_mice), np.float32)
 
-            def fill_row(row_and_index):
-                row, i = row_and_index
-                mouse = self.dataset.fill_into(int(i), epoch, inputs[row], targets[row])
-                weights[row, mouse] = 1.0
+            def fill_rows(rows):
+                for row, i in rows:
+                    mouse = self.dataset.fill_into(
+                        int(i), epoch, inputs[row], targets[row]
+                    )
+                    weights[row, mouse] = 1.0
 
-            # Consume the iterator so worker exceptions surface here.
-            for _ in pool.map(fill_row, enumerate(batch_indexes)):
+            # One contiguous row-chunk per worker, not one task per row:
+            # ThreadPoolExecutor ignores ``chunksize``, and 32 single-row
+            # tasks mean 32 GIL-handoff/queue round-trips per batch — pure
+            # overhead once threads outnumber cores (the measured 4/8-thread
+            # sag in the bench.py --loader sweep).  Consume the iterator so
+            # worker exceptions surface here.
+            rows = list(enumerate(batch_indexes))
+            chunk = -(-len(rows) // workers)  # ceil division
+            for _ in pool.map(
+                fill_rows, [rows[i : i + chunk] for i in range(0, len(rows), chunk)]
+            ):
                 pass
             return MiceBatch(inputs=inputs, targets=targets, weights=weights)
 

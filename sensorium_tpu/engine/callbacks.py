@@ -78,6 +78,7 @@ class LoggingToFile(Callback):
     def __init__(self, file_path, append: bool = True):
         self.file_path = Path(file_path)
         self.append = append
+        self._handler: logging.FileHandler | None = None
 
     def epoch_start(self, state: EngineState) -> None:
         self.file_path.parent.mkdir(parents=True, exist_ok=True)
@@ -89,20 +90,20 @@ class LoggingToFile(Callback):
             handler = logging.FileHandler(self.file_path, mode="a" if self.append else "w")
             handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
             state.logger.addHandler(handler)
+            self._handler = handler
 
     def fit_complete(self, state: EngineState) -> None:
         # The 'sensorium' logger is process-global: leaving this handler
         # attached would mirror every LATER fold/stage's lines into this
         # fold's log.txt (and leak the fd).  epoch_start re-attaches on the
         # next stage, so detaching here is safe for multi-stage fits.
-        for handler in [
-            h
-            for h in state.logger.handlers
-            if isinstance(h, logging.FileHandler)
-            and Path(getattr(h, "baseFilename", "")) == self.file_path.resolve()
-        ]:
-            state.logger.removeHandler(handler)
-            handler.close()
+        # Only the handler THIS callback attached is removed — a same-path
+        # handler installed by another component via build_logger(log_path)
+        # is never silently dropped (build_logger's documented guarantee).
+        if self._handler is not None:
+            state.logger.removeHandler(self._handler)
+            self._handler.close()
+            self._handler = None
 
 
 class LoggingToCSV(Callback):

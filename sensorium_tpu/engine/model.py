@@ -225,8 +225,16 @@ class MouseModel:
         f32 batch is 42 of the 56 MB staged per step).  fp32 models (golden
         parity, imports) stage untouched; ``SENSORIUM_STAGE_BF16=0``
         disables.
+
+        Already-device-resident inputs (jax.Array) pass through untouched:
+        the model casts on device anyway, and a host round-trip here would
+        silently re-download the batch (catastrophic through a remote
+        tunnel — bench.py --fit's device-resident mode relies on this).
         """
         import os
+
+        if isinstance(inputs, jax.Array):
+            return inputs
 
         def _is_bf16(module):
             d = getattr(module, "dtype", None)
@@ -396,9 +404,17 @@ class MouseModel:
         finally:
             # Runs on normal completion, preemption AND errors: callbacks
             # holding process-global resources (LoggingToFile's handler on
-            # the shared logger) must release them per-fit.
+            # the shared logger) must release them per-fit.  Each hook is
+            # isolated: a raising callback must never replace an in-flight
+            # TrainingPreempted (the resume contract) or the real training
+            # error, nor starve later callbacks of their cleanup.
             for callback in callbacks:
-                callback.fit_complete(engine_state)
+                try:
+                    callback.fit_complete(engine_state)
+                except Exception:
+                    self.logger.exception(
+                        f"fit_complete failed in {type(callback).__name__}; continuing"
+                    )
 
     def _fit_epochs(
         self, engine_state, train_loader, val_loader, num_epochs, callbacks,

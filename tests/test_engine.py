@@ -933,6 +933,84 @@ class TestMouseModelFit:
         assert extra["epoch"] == 3
         assert int(jax.device_get(resumed.state.step)) == 1
 
+    def test_fit_complete_error_never_masks_preemption(self, tmp_path):
+        """A raising fit_complete hook must not replace TrainingPreempted
+        (the resume/exit-75 contract), and later callbacks still get their
+        cleanup (ADVICE r03, engine/model.py fit() finally block)."""
+        from sensorium_tpu.engine.callbacks import Callback
+        from sensorium_tpu.engine.preemption import PreemptionHandler, TrainingPreempted
+
+        class Exploding(Callback):
+            def fit_complete(self, state):
+                raise RuntimeError("cleanup boom")
+
+        class Recorder(Callback):
+            called = False
+
+            def fit_complete(self, state):
+                Recorder.called = True
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        rng = np.random.default_rng(3)
+        loader = FakeLoader([random_batch(rng) for _ in range(2)])
+
+        with PreemptionHandler() as handler:
+            handler.triggered = True
+            with pytest.raises(TrainingPreempted):
+                model.fit(
+                    loader,
+                    num_epochs=1,
+                    callbacks=[Exploding(), Recorder()],
+                    preemption=handler,
+                    preemption_save_path=tmp_path / "state.ckpt",
+                )
+        assert Recorder.called
+
+    def test_logging_to_file_only_detaches_its_own_handler(self, tmp_path):
+        """LoggingToFile.fit_complete removes only the handler IT attached —
+        a same-path FileHandler installed via build_logger(log_path) stays
+        (build_logger's guarantee; ADVICE r03, callbacks.py)."""
+        import logging
+        from pathlib import Path
+
+        from sensorium_tpu.engine.callbacks import (
+            EngineState,
+            LoggingToFile,
+            build_logger,
+        )
+
+        log_path = tmp_path / "log.txt"
+        logger = build_logger(log_path)
+        try:
+            foreign = [
+                h
+                for h in logger.handlers
+                if isinstance(h, logging.FileHandler)
+                and Path(getattr(h, "baseFilename", "")) == log_path.resolve()
+            ]
+            assert len(foreign) == 1
+
+            cb = LoggingToFile(log_path)
+            state = EngineState(model=None, logger=logger)
+            cb.epoch_start(state)  # same-path handler exists -> attaches nothing
+            cb.fit_complete(state)
+            assert foreign[0] in logger.handlers  # the foreign handler survives
+
+            logger.removeHandler(foreign[0])
+            foreign[0].close()
+            cb.epoch_start(state)  # now attaches its own
+            own = cb._handler
+            assert own is not None and own in logger.handlers
+            cb.fit_complete(state)
+            assert own not in logger.handlers
+            assert cb._handler is None
+        finally:
+            for h in list(logger.handlers):
+                if isinstance(h, logging.FileHandler):
+                    logger.removeHandler(h)
+                    h.close()
+
     def test_train_state_resume_roundtrip(self, tmp_path):
         model = MouseModel(tiny_params())
         model.set_ema(0.9)
