@@ -467,6 +467,7 @@ def measure_fit() -> dict:
     from pathlib import Path
 
     import jax
+    import numpy as np
 
     from sensorium_tpu import constants
     from sensorium_tpu.data.loader import MiceDataLoader
@@ -914,6 +915,7 @@ def main():
             ("fit", ["--fit"]),
             ("distill", ["--distill"]),
             ("infer", ["--infer"]),
+            ("infer_mesh", ["--infer-mesh"]),
             ("loader", ["--loader", "--threads", "1,2,4,8"]),
         ]:
             cmd = [sys.executable, os.path.abspath(__file__)] + flags
@@ -949,6 +951,30 @@ def main():
         # the combined JSON is printed either way (so the other modes'
         # numbers survive), but the exit code reports the train failure.
         if headline is None:
+            sys.exit(1)
+        return
+
+    if args.infer_mesh:
+        # Runs entirely in a virtual-8-CPU-device subprocess — no TPU
+        # backend init in this parent (and no persistent-cache enable:
+        # XLA:CPU executables are not worth caching across runs).
+        detail = measure_infer_mesh()
+        value = detail.get("mesh_window_forwards_per_sec")
+        print(
+            json.dumps(
+                {
+                    "metric": "infer_mesh_window_forwards_per_sec",
+                    "value": value,
+                    "unit": "windows/s",
+                    # No baseline ratio: virtual CPU devices share one host
+                    # core, so the aggregate rate is a correctness-shape
+                    # number (see detail.note), not a speedup claim.
+                    "vs_baseline": None,
+                    "detail": detail,
+                }
+            )
+        )
+        if value is None:
             sys.exit(1)
         return
 
