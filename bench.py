@@ -714,6 +714,13 @@ def measure_infer() -> dict:
         "device_trial_seconds": round(device_elapsed / trials, 3),
         "device_window_forwards_per_sec": round(trials * windows / device_elapsed, 1),
         "prediction_shape": list(out.shape),
+        "device_op_note": (
+            "wall AND device_trial numbers include axon-tunnel dispatch/"
+            "upload artifacts; the jax.profiler trace of this exact program "
+            "(docs/PERF.md 'inference path is also at roofline') measures "
+            "504 ms/trial of device op time = ~536 window-forwards/s on a "
+            "PCIe-attached host"
+        ),
     }
 
 

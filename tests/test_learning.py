@@ -321,7 +321,10 @@ def test_torch_reference_stack_learns_the_same(learnable_env, jax_run):
     print(f"learning parity: torch val_corr={torch_corr:.4f} jax val_corr={jax_corr:.4f}")
     assert torch_corr > 0.08, f"reference stack failed to learn: {torch_corr}"
     # Same band: both systems extract the same signal from the same data.
-    # Measured seed variance (tools/seed_variance.py, 3 seeds each,
-    # docs/PERF.md "seed variance"): the 2026-08-19 single-seed gap of
-    # 0.003 (torch 0.131 vs jax 0.134) sits inside the cross-stack spread.
+    # Measured seed variance (tools/seed_variance.py, 5 seeds each,
+    # SEED_VARIANCE_r04.json + docs/PERF.md "seed variance"): jax
+    # 0.158±0.061, torch 0.127±0.028, mean gap 0.031 ≈ 1 SE — no
+    # detectable bias; same-seed gaps span 0.003…0.147.  This assert is a
+    # regression tripwire on the DETERMINISTIC seed-0 pair (measured gap
+    # 0.003), with the band set well inside per-stack seed noise.
     assert abs(torch_corr - jax_corr) < 0.06, (torch_corr, jax_corr)

@@ -30,8 +30,15 @@ import tempfile
 import time
 from pathlib import Path
 
-os.environ.setdefault("SENSORIUM_JAX_PLATFORM", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["SENSORIUM_JAX_PLATFORM"] = "cpu"
+# Env vars are UNRELIABLE for platform selection when a TPU plugin is
+# installed (JAX_PLATFORMS=axon is already exported here, so setdefault
+# was a no-op and the study silently ran through the TPU tunnel).  The
+# reliable way — same as tests/conftest.py — is jax.config.update as the
+# first JAX statements in the process, BEFORE any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
