@@ -790,7 +790,10 @@ def measure_infer_mesh_impl(n_devices: int = 8) -> dict:
     )
     return {
         "n_devices": n_devices,
-        "mesh": "data=8 (pure DP; TP variant parity-pinned in tests/test_parallel.py)",
+        "mesh": (
+            f"data={n_devices} (pure DP; TP variant parity-pinned in "
+            f"tests/test_parallel.py)"
+        ),
         "windows": windows,
         "mesh_window_forwards_per_sec": round(windows / mesh_s, 2),
         "single_window_forwards_per_sec": round(windows / plain_s, 2),
@@ -820,14 +823,20 @@ def measure_infer_mesh(n_devices: int = 8) -> dict:
         "import bench; "
         "print('INFER_MESH_JSON ' + json.dumps(bench.measure_infer_mesh_impl({n})))"
     ).format(root=os.path.dirname(os.path.abspath(__file__)), n=n_devices)
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # The contract is ONE JSON line on stdout even when the child
+        # wedges (cold XLA:CPU compile on a loaded host can be slow).
+        tail = (exc.output or "")[-500:] if isinstance(exc.output, str) else ""
+        return {"error": f"infer-mesh subprocess timeout after 3600s; tail: {tail}"}
     if proc.returncode != 0:
         return {"error": proc.stderr[-1500:]}
     for line in proc.stdout.splitlines():
