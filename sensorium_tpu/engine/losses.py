@@ -88,30 +88,31 @@ def mice_poisson_loss(
     with ``log_input=True`` a drifted log-rate > ~88.7 overflows
     ``exp`` to inf and ``inf * 0-weight`` would poison the whole loss
     (and, through the vjp of ``exp``, every shared-weight gradient).
-    Selection is applied at the CHEAPEST sufficient level per path:
 
-    - ``log_input=True``: the prediction is zeroed going in — protects
-      both the forward ``exp`` and its vjp (and pins masked grads to an
-      exact 0.0, the reference semantics).
-    - ``log_input=False`` (the production path): the guard is a
-      per-(mouse, batch)-cell ``where`` AFTER the (N, T) reduction.  The
-      forward is safe (an inf per_cell selects to 0) and the vjp is safe
-      without input masking: ``d elem/d pred = 1 - target/(pred+eps)``
-      is finite for every finite-or-inf pred >= 0, so the zero cotangent
-      annihilates it.  This keeps the (M, B, N, T)-sized loss fusion
-      free of extra selects.  Measured perf-neutral at flagship shape
-      (within the ±1% run band, 2026-08-20 A/B — the r02->r03 eval
-      regression was the shortcut lowering pin, docs/PERF.md "shortcut
-      lowering, revisited", NOT these selects); kept because it is the
-      minimal sufficient guard.
+    The prediction is zeroed going IN (both paths): the input-side
+    ``where`` transposes to an EXACT-0 cotangent at masked cells, which
+    is the only form that survives a NaN prediction — a per-cell guard
+    after the reduction leaves the vjp multiplying the zero cotangent by
+    a NaN partial (``0 * NaN = NaN``), poisoning every shared-trunk
+    gradient (pinned by ``test_engine.py
+    test_production_poisson_is_immune_to_masked_nonfinite``).  A NaN
+    there requires f32 overflow of opposite-sign partial sums in a
+    masked readout's matmul — catastrophic divergence — but the exact-0
+    semantics is the reference's and the select is measured perf-neutral
+    at flagship shape (within the ±1% run band, 2026-08-20 A/B — the
+    r02->r03 eval regression was the shortcut lowering pin, docs/PERF.md
+    "shortcut lowering, revisited", NOT these selects).  The per-cell
+    guard after the reduction stays: with a zeroed input the
+    ``log_input=False`` elementwise term is ``0 - t*log(eps)`` — finite
+    but nonzero — and selecting per (mouse, batch) cell is cheaper than
+    a second (M, B, N, T) select.
 
     Bit-identical to the weight-multiply form whenever everything is
     finite.
     """
     weights = weights / jnp.sum(weights)
     active_mb = weights.T != 0.0  # (M, B)
-    if log_input:
-        prediction = jnp.where(active_mb[:, :, None, None], prediction, 0.0)
+    prediction = jnp.where(active_mb[:, :, None, None], prediction, 0.0)
     elem = poisson_nll(
         prediction, _broadcast_target(target, prediction), eps, log_input, full
     )  # (M, B, N, T)

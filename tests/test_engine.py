@@ -1482,6 +1482,25 @@ class TestMaskedCellSafety:
         assert np.all(grads[1] == 0.0)
         assert np.any(grads[0] != 0.0)
 
+    @pytest.mark.parametrize("hot_value", [np.inf, np.nan])
+    def test_production_poisson_is_immune_to_masked_nonfinite(self, hot_value):
+        """The production loss (log_input=False) must give finite loss and
+        grads — and EXACT-0 masked-cell grads — even when an unsupervised
+        cell's prediction is inf or NaN.  NaN is the sharp case: without
+        input-side selection the vjp multiplies the zero cotangent by a
+        NaN partial (0 * NaN = NaN) and poisons every shared-trunk grad."""
+        from sensorium_tpu.engine.losses import mice_poisson_loss
+
+        pred, target, weights = self._hot_batch(hot_value=hot_value)
+        loss, grads = jax.value_and_grad(
+            lambda p: mice_poisson_loss(p, jnp.asarray(target), jnp.asarray(weights))
+        )(jnp.asarray(pred))
+        grads = np.asarray(grads)
+        assert np.isfinite(float(loss))
+        assert np.all(np.isfinite(grads))
+        assert np.all(grads[1] == 0.0)  # reference semantics: exactly no grad
+        assert np.any(grads[0] != 0.0)
+
     @pytest.mark.parametrize("name", ["L1Loss", "MSELoss", "SmoothL1Loss", "HuberLoss"])
     def test_stock_losses_are_immune_to_masked_inf(self, name):
         from sensorium_tpu.engine.losses import get_loss
