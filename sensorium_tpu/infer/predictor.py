@@ -98,17 +98,47 @@ class Predictor:
         params = self.model.params
         self.inputs_processor = get_inputs_processor(*params["inputs_processor"])
         frame_stack = params["frame_stack"]
-        assert frame_stack["position"] == "last"
-        assert params["responses_processor"][0] == "identity"
+        # Real errors, not asserts: under ``python -O`` asserts are
+        # stripped and an incompatible checkpoint would silently predict
+        # with wrong window offsets (same hazard cli/ensemble.py guards).
+        if frame_stack["position"] != "last":
+            raise ValueError(
+                f"predictor requires frame_stack position 'last' (the "
+                f"production contract, predictors.py:38-44); checkpoint has "
+                f"{frame_stack['position']!r}"
+            )
+        if params["responses_processor"][0] != "identity":
+            raise ValueError(
+                f"predictor emits raw responses (responses_processor "
+                f"'identity'); checkpoint has "
+                f"{params['responses_processor'][0]!r}"
+            )
+        if chunk_size <= 0 or length_bucket <= 0:
+            raise ValueError(
+                f"chunk_size and length_bucket must be positive, got "
+                f"{chunk_size} / {length_bucket}"
+            )
         self.indexes_generator = WindowIndexer(frame_stack["size"], frame_stack["step"])
         self.blend_weights = get_blend_weights(blend_weights, frame_stack["size"])
         if mesh is not None:
+            import jax
+
             from sensorium_tpu.parallel.mesh import data_extent
 
             if chunk_size % data_extent(mesh):
                 raise ValueError(
                     f"chunk_size {chunk_size} must be a multiple of the mesh "
                     f"batch-sharding ways ({data_extent(mesh)})"
+                )
+            if jax.process_count() > 1:
+                # Trial inputs are committed with plain device_put, which a
+                # multi-process mesh (non-addressable devices) rejects.  The
+                # supported multihost inference pattern is one single-host
+                # predictor per host over that host's own trials (folds and
+                # trials are embarrassingly parallel) — see docs/SCALING.md.
+                raise NotImplementedError(
+                    "mesh-sharded prediction spans a single process; run one "
+                    "Predictor per host instead of one mesh across hosts"
                 )
         self.chunk_size = chunk_size
         self.length_bucket = length_bucket
@@ -306,11 +336,19 @@ class Predictor:
 
     def predict_trial_data(self, trial_data: dict, mouse_index: int) -> np.ndarray:
         """Predict from a trial-catalog entry (predict.py:24-36 parity)."""
-        length = trial_data["length"]
-        video = np.load(trial_data["video_path"])[..., :length]
-        behavior = np.load(trial_data["behavior_path"])[..., :length]
-        pupil_center = np.load(trial_data["pupil_center_path"])[..., :length]
+        video, behavior, pupil_center = _load_trial_arrays(trial_data)
         return self.predict_trial(video, behavior, pupil_center, mouse_index)
+
+
+def _load_trial_arrays(trial_data: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load (video, behavior, pupil_center) cut to the trial length —
+    the one place the trial-file layout is known (predict.py:24-29)."""
+    length = trial_data["length"]
+    return (
+        np.load(trial_data["video_path"])[..., :length],
+        np.load(trial_data["behavior_path"])[..., :length],
+        np.load(trial_data["pupil_center_path"])[..., :length],
+    )
 
 
 def predict_mouse_split(
@@ -328,10 +366,7 @@ def predict_mouse_split(
     mouse_data = get_mouse_data(mouse=mouse, splits=[split])
     save_dir.mkdir(parents=True, exist_ok=True)
     for trial_data in mouse_data["trials"]:
-        length = trial_data["length"]
-        video = np.load(trial_data["video_path"])[..., :length]
-        behavior = np.load(trial_data["behavior_path"])[..., :length]
-        pupil_center = np.load(trial_data["pupil_center_path"])[..., :length]
+        video, behavior, pupil_center = _load_trial_arrays(trial_data)
         responses = [
             p.predict_trial(video, behavior, pupil_center, mouse_index)
             for p in predictors

@@ -143,12 +143,21 @@ def shard_batch(mesh: Mesh | None, *arrays):
     if mesh is None:
         return jax.device_put(arrays)
     sharding = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def _sharding_for(a):
+        # A rank-1 PartitionSpec cannot apply to a 0-d value — scalars
+        # (e.g. a loss weight) replicate instead, as documented above.
+        return rep if getattr(a, "ndim", 1) == 0 else sharding
+
     if jax.process_count() > 1:
         return tuple(
-            jax.make_array_from_callback(a.shape, sharding, lambda idx, a=a: a[idx])
+            jax.make_array_from_callback(
+                a.shape, _sharding_for(a), lambda idx, a=a: a[idx]
+            )
             for a in arrays
         )
-    return tuple(jax.device_put(a, sharding) for a in arrays)
+    return tuple(jax.device_put(a, _sharding_for(a)) for a in arrays)
 
 
 def replicate_tree(mesh: Mesh | None, tree):

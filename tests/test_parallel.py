@@ -40,6 +40,18 @@ class TestMeshSetup:
         shard_shapes = {s.data.shape for s in sharded.addressable_shards}
         assert shard_shapes == {(2, 3)}
 
+    def test_shard_batch_replicates_scalars(self, mesh):
+        """Documented contract: 0-d arrays pass through replicated (a
+        rank-1 PartitionSpec cannot apply to a scalar)."""
+        from sensorium_tpu.parallel.mesh import shard_batch
+
+        batch = np.zeros((8, 3), np.float32)
+        scalar = np.float32(0.5)
+        sb, ss = shard_batch(mesh, batch, scalar)
+        assert {s.data.shape for s in sb.addressable_shards} == {(2, 3)}
+        assert ss.shape == () and float(ss) == 0.5
+        assert all(s.data.shape == () for s in ss.addressable_shards)
+
 
 class TestDataParallelParity:
     def test_sharded_step_matches_single_device(self, mesh):
@@ -460,6 +472,20 @@ class TestShardedPredictor:
             video, behavior, pupil, mouse_index=1
         )
         np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-6)
+
+    def test_predictor_rejects_nonpositive_chunking(self, tmp_path):
+        """Constructor-time errors, not a ZeroDivisionError deep in
+        predict_trial_device (matches the export CLI's validation)."""
+        from sensorium_tpu.infer.predictor import Predictor
+
+        model = MouseModel(tiny_params())
+        model.build_state(seed=0, learning_rate=1e-3)
+        path = tmp_path / "model-001-0.100000.ckpt"
+        model.save(path)
+        with pytest.raises(ValueError, match="positive"):
+            Predictor(path, chunk_size=0)
+        with pytest.raises(ValueError, match="positive"):
+            Predictor(path, chunk_size=8, length_bucket=0)
 
 
 class TestDryrun:
