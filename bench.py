@@ -558,8 +558,6 @@ def measure_fit() -> dict:
                 def set_epoch(self, epoch):
                     pass
 
-            from sensorium_tpu.data.datasets import MiceBatch
-
             rng = np.random.default_rng(7)
             prestaged = []
             for _ in range(8):
@@ -896,6 +894,33 @@ def _init_backend_or_die(
     timer.cancel()
 
 
+def child_mode_result(returncode: int, stdout: str, stderr: str) -> dict:
+    """Parse one --all child's outcome into the combined-detail entry.
+
+    Success = rc 0 with a parseable final JSON line. On failure the child
+    may still have emitted its diagnostic JSON line on stdout (e.g. a
+    tripped parity assert or the grandchild timeout in --infer-mesh exits
+    1 with an empty stderr) — keep whichever of stderr/child JSON carries
+    the detail so the artifact never records an empty error.
+    """
+    lines = stdout.strip().splitlines()
+    if returncode == 0:
+        try:
+            return json.loads(lines[-1])
+        except (json.JSONDecodeError, IndexError) as exc:
+            return {"error": f"unparseable output: {exc}"}
+    err: dict = {"error": stderr[-500:]}
+    for line in reversed(lines):
+        try:
+            err["child_json"] = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if not err["error"] and "child_json" not in err:
+        err["error"] = f"rc={returncode}, no output"
+    return err
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ab", action="store_true", help="A/B pallas vs xla dw impls")
@@ -942,14 +967,11 @@ def main():
                     cmd, capture_output=True, text=True, timeout=3600,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
-                if proc.returncode != 0:
-                    combined[mode] = {"error": proc.stderr[-500:]}
-                else:
-                    combined[mode] = json.loads(proc.stdout.strip().splitlines()[-1])
+                combined[mode] = child_mode_result(
+                    proc.returncode, proc.stdout, proc.stderr
+                )
             except subprocess.TimeoutExpired:
                 combined[mode] = {"error": "timeout after 3600s"}
-            except (json.JSONDecodeError, IndexError) as exc:
-                combined[mode] = {"error": f"unparseable output: {exc}"}
         headline = combined["train"].get("value")
         print(
             json.dumps(

@@ -148,7 +148,8 @@ def shard_batch(mesh: Mesh | None, *arrays):
     def _sharding_for(a):
         # A rank-1 PartitionSpec cannot apply to a 0-d value — scalars
         # (e.g. a loss weight) replicate instead, as documented above.
-        return rep if getattr(a, "ndim", 1) == 0 else sharding
+        # np.ndim covers plain Python numbers too (no .ndim attribute).
+        return rep if np.ndim(a) == 0 else sharding
 
     if jax.process_count() > 1:
         return tuple(

@@ -51,6 +51,10 @@ class TestMeshSetup:
         assert {s.data.shape for s in sb.addressable_shards} == {(2, 3)}
         assert ss.shape == () and float(ss) == 0.5
         assert all(s.data.shape == () for s in ss.addressable_shards)
+        # Plain Python numbers (no .ndim attribute) must replicate too —
+        # the motivating case is a float loss weight.
+        _, spy = shard_batch(mesh, batch, 0.5)
+        assert spy.shape == () and float(spy) == 0.5
 
 
 class TestDataParallelParity:

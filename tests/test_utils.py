@@ -152,3 +152,38 @@ def test_best_model_path_honors_negative_scores(tmp_path):
     best, score = get_best_model_path(tmp_path, return_score=True)
     assert best.name == "model-004-0.100000.ckpt"
     assert score == 0.1
+
+
+class TestBenchChildModeResult:
+    """bench.py --all child-outcome parsing: a failing mode's diagnostic
+    must survive into the combined artifact (a --infer-mesh child reports
+    its error in the stdout JSON line and exits 1 with an EMPTY stderr —
+    recording only stderr produced {"error": ""} snapshots)."""
+
+    @pytest.fixture()
+    def child_mode_result(self):
+        import importlib.util
+        import sys
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent.parent / "bench.py"
+        spec = importlib.util.spec_from_file_location("sensorium_bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules.setdefault("sensorium_bench", mod)
+        spec.loader.exec_module(mod)
+        return mod.child_mode_result
+
+    def test_success_parses_last_json_line(self, child_mode_result):
+        out = 'warning noise\n{"metric": "m", "value": 1.5}\n'
+        assert child_mode_result(0, out, "") == {"metric": "m", "value": 1.5}
+
+    def test_failure_keeps_stdout_json_when_stderr_empty(self, child_mode_result):
+        out = '{"metric": "m", "value": null, "detail": {"error": "parity"}}\n'
+        res = child_mode_result(1, out, "")
+        assert res["child_json"]["detail"]["error"] == "parity"
+
+    def test_failure_with_no_output_names_rc(self, child_mode_result):
+        assert child_mode_result(3, "", "") == {"error": "rc=3, no output"}
+
+    def test_success_with_garbled_output(self, child_mode_result):
+        assert "unparseable" in child_mode_result(0, "not json", "")["error"]
