@@ -259,7 +259,11 @@ class TrainMiceDataset:
         seed: int = 0,
         augmentations=None,
     ):
-        assert [constants.mouse2index[d["mouse"]] for d in mice_data] == constants.mice_indexes
+        if [constants.mouse2index[d["mouse"]] for d in mice_data] != constants.mice_indexes:
+            # ValueError, not assert (-O-proof): misordered mice would
+            # silently pair every readout with the wrong neuron data
+            # (reference asserts the same canonical order, datasets.py:163).
+            raise ValueError("mice_data must be all 10 mice in canonical constants.mice order")
         self.stores = [
             MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
         ]
@@ -378,7 +382,11 @@ class ValMiceDataset:
         inputs_processor: InputsProcessor,
         responses_processor: ResponsesProcessor,
     ):
-        assert [constants.mouse2index[d["mouse"]] for d in mice_data] == constants.mice_indexes
+        if [constants.mouse2index[d["mouse"]] for d in mice_data] != constants.mice_indexes:
+            # ValueError, not assert (-O-proof): misordered mice would
+            # silently pair every readout with the wrong neuron data
+            # (reference asserts the same canonical order, datasets.py:163).
+            raise ValueError("mice_data must be all 10 mice in canonical constants.mice order")
         self.stores = [
             MouseTrialStore(d, indexer, inputs_processor, responses_processor) for d in mice_data
         ]

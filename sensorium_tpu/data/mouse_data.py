@@ -122,7 +122,10 @@ def get_mouse_data(mouse: str, splits: list[str]) -> dict:
     carries its id, usable length, and paths to the video / behavior /
     pupil-center (and responses, when the split is labeled) arrays.
     """
-    assert mouse in constants.mice
+    if mouse not in constants.mice:
+        # ValueError, not assert (-O-proof): an unknown mouse id must fail
+        # here with its name, not as a downstream path error.
+        raise ValueError(f"unknown mouse {mouse!r}; expected one of constants.mice")
     tiers = get_folds_tiers(mouse, constants.num_folds)
     mdir = mouse_dir(mouse)
     neuron_ids = np.load(str(mdir / "meta" / "neurons" / "unit_ids.npy"))

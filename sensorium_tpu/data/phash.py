@@ -49,7 +49,12 @@ def video_phash(video: np.ndarray, num_hash_frames: int = 5) -> int:
     ``video`` has shape (H, W, T); frames past the first NaN are ignored.
     """
     length = get_length_without_nan(video[0, 0])
-    assert length >= num_hash_frames
+    if length < num_hash_frames:
+        # ValueError, not assert (-O-proof): a degenerate video must not
+        # silently fold-assign from a zero-stride frame sample.
+        raise ValueError(
+            f"video has {length} usable frames, need >= {num_hash_frames} to hash"
+        )
     step = length // num_hash_frames
     combined = 0
     for frame_index in range(step // 2, length, step)[:num_hash_frames]:
