@@ -359,17 +359,36 @@ def predict_mouse_split(
     The trial arrays are loaded from disk ONCE per trial and shared by all
     predictors (the unlabeled flow blends 7 fold models — per-predictor
     loading would re-read every multi-MB video 7 times).
+
+    The fold blend is computed ON DEVICE (one (N, T) fetch per trial
+    instead of one per fold model — 7x fewer device->host bytes in the
+    unlabeled flow, reference predict.py:44-50), and each trial's fetch is
+    deferred by one trial: jax's async dispatch computes trial t while the
+    host saves trial t-1, so upload/compute/fetch pipeline instead of
+    serializing on a per-trial round-trip (bench.py --infer
+    pipelined_window_forwards_per_sec measures this cadence).
     """
+    import jax.numpy as jnp
+
     from sensorium_tpu.data.mouse_data import get_mouse_data
 
     mouse_index = constants.mouse2index[mouse]
     mouse_data = get_mouse_data(mouse=mouse, splits=[split])
     save_dir.mkdir(parents=True, exist_ok=True)
+    pending: tuple[Path, jax.Array] | None = None
     for trial_data in mouse_data["trials"]:
         video, behavior, pupil_center = _load_trial_arrays(trial_data)
         responses = [
-            p.predict_trial(video, behavior, pupil_center, mouse_index)
+            p.predict_trial_device(video, behavior, pupil_center, mouse_index)
             for p in predictors
         ]
-        blend = np.mean(responses, axis=0)
-        np.save(str(save_dir / f"{trial_data['trial_id']}.npy"), blend)
+        blend = (
+            responses[0]
+            if len(responses) == 1
+            else jnp.mean(jnp.stack(responses), axis=0)
+        )
+        if pending is not None:
+            np.save(str(pending[0]), np.asarray(pending[1]))
+        pending = (save_dir / f"{trial_data['trial_id']}.npy", blend)
+    if pending is not None:
+        np.save(str(pending[0]), np.asarray(pending[1]))

@@ -283,6 +283,37 @@ class TestPredictionPipeline:
                 )
 
 
+    def test_multi_predictor_device_blend_matches_host_mean(self, trained_fold):
+        """predict_mouse_split blends fold models ON DEVICE with a single
+        deferred fetch per trial; the saved blend must equal the host-side
+        np.mean of the individual predict_trial results (the reference's
+        predict.py:49 semantics)."""
+        from sensorium_tpu.data.mouse_data import get_mouse_data
+        from sensorium_tpu.infer.predictor import _load_trial_arrays
+
+        save_dir, _, _ = trained_fold
+        path = get_best_model_path(save_dir)
+        # Same checkpoint, different window-blend weights -> two genuinely
+        # different predictors, so the mean differs from both.
+        p1 = Predictor(path, chunk_size=16, blend_weights="ones")
+        p2 = Predictor(path, chunk_size=16, blend_weights="linear")
+
+        mouse = constants.mice[0]
+        mouse_dir = constants.predictions_dir / "blend_exp" / "out-of-fold" / mouse
+        predict_mouse_split(mouse, "fold_0", [p1, p2], mouse_dir)
+        files = sorted(mouse_dir.glob("*.npy"))
+        assert len(files) == 1
+        saved = np.load(files[0])
+
+        trial = get_mouse_data(mouse=mouse, splits=["fold_0"])["trials"][0]
+        video, behavior, pupil = _load_trial_arrays(trial)
+        mi = constants.mouse2index[mouse]
+        r1 = p1.predict_trial(video, behavior, pupil, mi)
+        r2 = p2.predict_trial(video, behavior, pupil, mi)
+        assert not np.allclose(r1, r2)  # the two predictors truly differ
+        np.testing.assert_allclose(saved, np.mean([r1, r2], axis=0), rtol=1e-6, atol=1e-6)
+
+
 class TestDistillationPipeline:
     def test_distill_training_from_teacher_checkpoint(self, trained_fold):
         """Full distillation flow: resolve the teacher fold checkpoint,
