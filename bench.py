@@ -948,7 +948,7 @@ def child_mode_result(returncode: int, stdout: str, stderr: str) -> dict:
             break
         except json.JSONDecodeError:
             continue
-    if not err["error"] and "child_json" not in err:
+    if not err["error"].strip() and "child_json" not in err:
         err["error"] = f"rc={returncode}, no output"
     return err
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 from pathlib import Path
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,20 @@ def get_blend_weights(name: str, size: int) -> np.ndarray:
 
 def _round_up(value: int, multiple: int) -> int:
     return (value + multiple - 1) // multiple * multiple
+
+
+class StagedTrial(NamedTuple):
+    """One trial's device-resident inputs + window plan (Predictor.stage_trial).
+
+    Shareable across predictors with equal ``stage_signature()`` — the
+    weights live in each predictor, not here.  ``windows is None`` marks a
+    trial shorter than one window (run_staged returns zeros)."""
+
+    length: int
+    hoststack: bool
+    trial_args: tuple
+    windows: "jax.Array | None"
+    valid: "jax.Array | None"
 
 
 def assemble_trial_stack(video, behavior, pupil_center, height, width, fill):
@@ -269,14 +284,46 @@ class Predictor:
         """``predict_trial`` but the (N, T) result stays on device —
         callers that post-process on device (or only need a sync) avoid
         the device->host transfer."""
+        return self.run_staged(
+            self.stage_trial(video, behavior, pupil_center), mouse_index
+        )
+
+    def stage_signature(self):
+        """Key deciding whether two predictors can share a staged trial.
+
+        Staging depends only on the input-processor geometry, the window
+        plan, the bucketing knobs and the mesh — NOT on weights or blend
+        weights, so the 7 fold models of one experiment (cli/predict.py
+        builds them with identical kwargs) share a signature."""
+        ip = self.inputs_processor
+        gen = self.indexes_generator
+        return (
+            type(ip),
+            getattr(ip, "size", None),
+            getattr(ip, "pad_fill_value", None),
+            (gen.size, gen.step, gen.position),
+            self.chunk_size,
+            self.length_bucket,
+            self.mesh,
+        )
+
+    def stage_trial(
+        self, video: np.ndarray, behavior: np.ndarray, pupil_center: np.ndarray
+    ) -> "StagedTrial":
+        """Upload one trial's compact arrays + window plan ONCE.
+
+        The unlabeled flow forwards the SAME trial through 7 fold models
+        (reference predict.py:44-48); per-predictor staging would cross
+        the host->device link 7 times per video.  Predictors with equal
+        ``stage_signature()`` can all ``run_staged`` the result."""
         length = video.shape[-1]
         gen = self.indexes_generator
         anchors = gen.valid_anchors(length)
-        num_neurons = self.model.nn_module.readout_outputs[mouse_index]
         if len(anchors) == 0:
             # Trial shorter than one window: the reference's loop runs zero
-            # iterations and the blend denominator clips to 1 -> zeros.
-            return jnp.zeros((num_neurons, length), jnp.float32)
+            # iterations and the blend denominator clips to 1 -> zeros
+            # (run_staged returns the zeros).
+            return StagedTrial(length, False, (), None, None)
         windows = gen.windows(anchors).astype(np.int32)  # (A, S)
 
         # Bucket the time axis AND the anchor count so XLA executables are
@@ -296,7 +343,6 @@ class Predictor:
                 [windows, np.repeat(windows[-1:], pad_rows, axis=0)], axis=0
             )
 
-        variables = self.model.state
         device_assembly = isinstance(self.inputs_processor, StackInputsProcessor)
         if device_assembly:
             width, height = self.inputs_processor.size
@@ -313,7 +359,6 @@ class Predictor:
                 jax.device_put(np.pad(behavior.astype(np.float32), ((0, 0), (0, tpad)))),
                 jax.device_put(np.pad(pupil_center.astype(np.float32), ((0, 0), (0, tpad)))),
             )
-            run = self._trial_fn(mouse_index)
         else:
             inputs = np.asarray(
                 self.inputs_processor(video, behavior, pupil_center), np.float32
@@ -323,16 +368,34 @@ class Predictor:
                     inputs, ((0, 0), (0, padded_len - inputs.shape[1]), (0, 0), (0, 0))
                 )
             trial_args = (jax.device_put(inputs),)
-            run = self._trial_fn_hoststack(mouse_index)
 
-        responses = run(
-            variables.eval_params,
-            variables.eval_batch_stats,
-            *trial_args,
+        return StagedTrial(
+            length,
+            not device_assembly,
+            trial_args,
             jnp.asarray(windows.reshape(-1, chunk, windows.shape[-1])),
             jnp.asarray(valid.reshape(-1, chunk)),
         )
-        return responses[:, :length]
+
+    def run_staged(self, staged: "StagedTrial", mouse_index: int) -> jax.Array:
+        """Window forwards + blend over an already-staged trial."""
+        if staged.windows is None:
+            num_neurons = self.model.nn_module.readout_outputs[mouse_index]
+            return jnp.zeros((num_neurons, staged.length), jnp.float32)
+        run = (
+            self._trial_fn_hoststack(mouse_index)
+            if staged.hoststack
+            else self._trial_fn(mouse_index)
+        )
+        variables = self.model.state
+        responses = run(
+            variables.eval_params,
+            variables.eval_batch_stats,
+            *staged.trial_args,
+            staged.windows,
+            staged.valid,
+        )
+        return responses[:, : staged.length]
 
     def predict_trial_data(self, trial_data: dict, mouse_index: int) -> np.ndarray:
         """Predict from a trial-catalog entry (predict.py:24-36 parity)."""
@@ -362,26 +425,36 @@ def predict_mouse_split(
 
     The fold blend is computed ON DEVICE (one (N, T) fetch per trial
     instead of one per fold model — 7x fewer device->host bytes in the
-    unlabeled flow, reference predict.py:44-50), and each trial's fetch is
+    unlabeled flow, reference predict.py:44-50), the staged trial upload
+    is shared by all same-signature predictors (7x fewer host->device
+    bytes), and each trial's fetch is
     deferred by one trial: jax's async dispatch computes trial t while the
     host saves trial t-1, so upload/compute/fetch pipeline instead of
     serializing on a per-trial round-trip (bench.py --infer
     pipelined_window_forwards_per_sec measures this cadence).
     """
-    import jax.numpy as jnp
-
     from sensorium_tpu.data.mouse_data import get_mouse_data
 
     mouse_index = constants.mouse2index[mouse]
     mouse_data = get_mouse_data(mouse=mouse, splits=[split])
     save_dir.mkdir(parents=True, exist_ok=True)
+    # Fold models built with identical kwargs share trial staging: one
+    # upload of the multi-MB video per trial instead of one per predictor.
+    lead = predictors[0]
+    shared_staging = all(
+        p.stage_signature() == lead.stage_signature() for p in predictors[1:]
+    )
     pending: tuple[Path, jax.Array] | None = None
     for trial_data in mouse_data["trials"]:
         video, behavior, pupil_center = _load_trial_arrays(trial_data)
-        responses = [
-            p.predict_trial_device(video, behavior, pupil_center, mouse_index)
-            for p in predictors
-        ]
+        if shared_staging:
+            staged = lead.stage_trial(video, behavior, pupil_center)
+            responses = [p.run_staged(staged, mouse_index) for p in predictors]
+        else:
+            responses = [
+                p.predict_trial_device(video, behavior, pupil_center, mouse_index)
+                for p in predictors
+            ]
         blend = (
             responses[0]
             if len(responses) == 1

@@ -152,11 +152,15 @@ def shard_batch(mesh: Mesh | None, *arrays):
         return rep if np.ndim(a) == 0 else sharding
 
     if jax.process_count() > 1:
+        # np.asarray first: make_array_from_callback needs .shape and
+        # __getitem__, which plain Python scalars lack (a 0-d np array
+        # indexes fine with the replicated sharding's empty index).
+        np_arrays = tuple(np.asarray(a) for a in arrays)
         return tuple(
             jax.make_array_from_callback(
                 a.shape, _sharding_for(a), lambda idx, a=a: a[idx]
             )
-            for a in arrays
+            for a in np_arrays
         )
     return tuple(jax.device_put(a, _sharding_for(a)) for a in arrays)
 

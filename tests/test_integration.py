@@ -300,7 +300,19 @@ class TestPredictionPipeline:
 
         mouse = constants.mice[0]
         mouse_dir = constants.predictions_dir / "blend_exp" / "out-of-fold" / mouse
-        predict_mouse_split(mouse, "fold_0", [p1, p2], mouse_dir)
+        # Same-signature predictors must share the staged trial upload:
+        # exactly ONE stage_trial call per trial across both predictors.
+        stage_calls = []
+        orig_stage = Predictor.stage_trial
+        try:
+            Predictor.stage_trial = lambda self, *a, **k: (
+                stage_calls.append(1),
+                orig_stage(self, *a, **k),
+            )[1]
+            predict_mouse_split(mouse, "fold_0", [p1, p2], mouse_dir)
+        finally:
+            Predictor.stage_trial = orig_stage
+        assert len(stage_calls) == 1
         files = sorted(mouse_dir.glob("*.npy"))
         assert len(files) == 1
         saved = np.load(files[0])

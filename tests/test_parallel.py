@@ -56,6 +56,24 @@ class TestMeshSetup:
         _, spy = shard_batch(mesh, batch, 0.5)
         assert spy.shape == () and float(spy) == 0.5
 
+    def test_shard_batch_multiprocess_branch_handles_python_scalars(
+        self, mesh, monkeypatch
+    ):
+        """The jax.distributed branch builds arrays via
+        make_array_from_callback, which needs .shape/__getitem__ — plain
+        Python scalars must be np-normalized first (make_array_from_callback
+        itself is process-count agnostic, so the branch is testable by
+        forcing process_count)."""
+        import jax
+
+        from sensorium_tpu.parallel.mesh import shard_batch
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        batch = np.arange(24, dtype=np.float32).reshape(8, 3)
+        sb, ss = shard_batch(mesh, batch, 0.5)
+        assert ss.shape == () and float(ss) == 0.5
+        np.testing.assert_array_equal(np.asarray(sb), batch)
+
 
 class TestDataParallelParity:
     def test_sharded_step_matches_single_device(self, mesh):

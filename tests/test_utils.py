@@ -160,18 +160,19 @@ class TestBenchChildModeResult:
     its error in the stdout JSON line and exits 1 with an EMPTY stderr —
     recording only stderr produced {"error": ""} snapshots)."""
 
-    @pytest.fixture()
+    @pytest.fixture(scope="class")
     def child_mode_result(self):
         import importlib.util
         import sys
         from pathlib import Path
 
-        path = Path(__file__).resolve().parent.parent / "bench.py"
-        spec = importlib.util.spec_from_file_location("sensorium_bench", path)
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules.setdefault("sensorium_bench", mod)
-        spec.loader.exec_module(mod)
-        return mod.child_mode_result
+        if "sensorium_bench" not in sys.modules:
+            path = Path(__file__).resolve().parent.parent / "bench.py"
+            spec = importlib.util.spec_from_file_location("sensorium_bench", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            sys.modules["sensorium_bench"] = mod
+        return sys.modules["sensorium_bench"].child_mode_result
 
     def test_success_parses_last_json_line(self, child_mode_result):
         out = 'warning noise\n{"metric": "m", "value": 1.5}\n'
@@ -184,6 +185,10 @@ class TestBenchChildModeResult:
 
     def test_failure_with_no_output_names_rc(self, child_mode_result):
         assert child_mode_result(3, "", "") == {"error": "rc=3, no output"}
+
+    def test_whitespace_stderr_still_names_rc(self, child_mode_result):
+        # A lone newline on stderr must not defeat the no-output fallback.
+        assert child_mode_result(3, "", "\n") == {"error": "rc=3, no output"}
 
     def test_success_with_garbled_output(self, child_mode_result):
         assert "unparseable" in child_mode_result(0, "not json", "")["error"]
