@@ -941,15 +941,15 @@ def child_mode_result(returncode: int, stdout: str, stderr: str) -> dict:
             return json.loads(lines[-1])
         except (json.JSONDecodeError, IndexError) as exc:
             return {"error": f"unparseable output: {exc}"}
-    err: dict = {"error": stderr[-500:]}
+    err: dict = {"error": stderr.strip()[-500:]}
     for line in reversed(lines):
         try:
             err["child_json"] = json.loads(line)
             break
         except json.JSONDecodeError:
             continue
-    if not err["error"].strip() and "child_json" not in err:
-        err["error"] = f"rc={returncode}, no output"
+    if not err["error"]:
+        err["error"] = f"rc={returncode}, no stderr"
     return err
 
 

@@ -435,6 +435,8 @@ def predict_mouse_split(
     """
     from sensorium_tpu.data.mouse_data import get_mouse_data
 
+    if not predictors:
+        raise ValueError("predictors must be non-empty")
     mouse_index = constants.mouse2index[mouse]
     mouse_data = get_mouse_data(mouse=mouse, splits=[split])
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -444,22 +446,32 @@ def predict_mouse_split(
     shared_staging = all(
         p.stage_signature() == lead.stage_signature() for p in predictors[1:]
     )
-    pending: tuple[Path, jax.Array] | None = None
+    pending: tuple[Path, jax.Array | np.ndarray] | None = None
     for trial_data in mouse_data["trials"]:
         video, behavior, pupil_center = _load_trial_arrays(trial_data)
         if shared_staging:
             staged = lead.stage_trial(video, behavior, pupil_center)
             responses = [p.run_staged(staged, mouse_index) for p in predictors]
+            blend = (
+                responses[0]
+                if len(responses) == 1
+                else jnp.mean(jnp.stack(responses), axis=0)
+            )
         else:
-            responses = [
-                p.predict_trial_device(video, behavior, pupil_center, mouse_index)
-                for p in predictors
-            ]
-        blend = (
-            responses[0]
-            if len(responses) == 1
-            else jnp.mean(jnp.stack(responses), axis=0)
-        )
+            # Heterogeneous predictors (different meshes, or mesh vs None)
+            # may hold outputs committed to incompatible device sets —
+            # jnp.stack across those raises.  Blend on host instead (the
+            # pre-r4 behavior); only the shared-signature fast path keeps
+            # the on-device blend + deferred fetch.
+            blend = np.mean(
+                [
+                    np.asarray(
+                        p.predict_trial_device(video, behavior, pupil_center, mouse_index)
+                    )
+                    for p in predictors
+                ],
+                axis=0,
+            )
         if pending is not None:
             np.save(str(pending[0]), np.asarray(pending[1]))
         pending = (save_dir / f"{trial_data['trial_id']}.npy", blend)

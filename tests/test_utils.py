@@ -184,11 +184,18 @@ class TestBenchChildModeResult:
         assert res["child_json"]["detail"]["error"] == "parity"
 
     def test_failure_with_no_output_names_rc(self, child_mode_result):
-        assert child_mode_result(3, "", "") == {"error": "rc=3, no output"}
+        assert child_mode_result(3, "", "") == {"error": "rc=3, no stderr"}
 
     def test_whitespace_stderr_still_names_rc(self, child_mode_result):
         # A lone newline on stderr must not defeat the no-output fallback.
-        assert child_mode_result(3, "", "\n") == {"error": "rc=3, no output"}
+        assert child_mode_result(3, "", "\n") == {"error": "rc=3, no stderr"}
+
+    def test_whitespace_stderr_with_child_json_names_rc(self, child_mode_result):
+        # r4 advisor: whitespace stderr + a found child JSON line used to
+        # store {"error": "\n"} — the rc fallback must fire regardless.
+        res = child_mode_result(1, '{"metric": "m", "value": null}\n', "\n")
+        assert res["error"] == "rc=1, no stderr"
+        assert res["child_json"] == {"metric": "m", "value": None}
 
     def test_success_with_garbled_output(self, child_mode_result):
         assert "unparseable" in child_mode_result(0, "not json", "")["error"]
