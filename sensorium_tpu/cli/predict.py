@@ -32,6 +32,14 @@ def parse_arguments():
     parser.add_argument("--mesh", action="store_true",
                         help="shard each chunk's window forwards over all "
                              "local devices (data-parallel inference)")
+    parser.add_argument("--multihost", default=None, type=str, metavar="SPEC",
+                        help="fan the trial list out across a jax.distributed "
+                             "cluster ('auto' or 'COORD_ADDR,NUM_PROCESSES,"
+                             "PROCESS_ID'; run the same command on every "
+                             "host): each process predicts its slice of every "
+                             "mouse's trials into the shared predictions dir; "
+                             "process 0 writes the evaluation/submission after "
+                             "a cluster barrier")
     return parser.parse_args()
 
 
@@ -84,7 +92,8 @@ def _fold_model_path(experiment: str, fold_split: str):
 
 
 def predict_folds(
-    experiment: str, dataset: str, chunk_size: int = 32, mesh=None
+    experiment: str, dataset: str, chunk_size: int = 32, mesh=None,
+    trial_shard=None,
 ) -> None:
     """Out-of-fold predictions: each fold's trials by that fold's model.
 
@@ -99,11 +108,14 @@ def predict_folds(
         )
         for mouse in constants.dataset2mice[dataset]:
             mouse_dir = constants.predictions_dir / experiment / "out-of-fold" / mouse
-            predict_mouse_split(mouse, fold_split, [predictor], mouse_dir)
+            predict_mouse_split(
+                mouse, fold_split, [predictor], mouse_dir, trial_shard=trial_shard
+            )
 
 
 def predict_unlabeled_split(
-    experiment: str, split: str, dataset: str, chunk_size: int = 32, mesh=None
+    experiment: str, split: str, dataset: str, chunk_size: int = 32, mesh=None,
+    trial_shard=None,
 ) -> None:
     """Average all fold models' predictions per unlabeled trial."""
     print(f"Predict unlabeled split: {experiment=}, {split=}, {dataset=}")
@@ -116,7 +128,9 @@ def predict_unlabeled_split(
     ]
     for mouse in constants.dataset2mice[dataset]:
         mouse_dir = constants.predictions_dir / experiment / split / mouse
-        predict_mouse_split(mouse, split, predictors, mouse_dir)
+        predict_mouse_split(
+            mouse, split, predictors, mouse_dir, trial_shard=trial_shard
+        )
 
 
 def main():
@@ -133,13 +147,30 @@ def main():
         # create_mesh() spans every local device, contradicting a
         # single-device pin; refusing beats silently running on all chips.
         raise SystemExit("--device and --mesh are mutually exclusive")
-    # Honor a platform override before any backend initialization, like
-    # cli/train.py (env JAX_PLATFORMS alone is unreliable once a TPU
-    # plugin is installed).  --device pins its own platform in
-    # select_device and takes precedence.
+    if args.multihost and args.mesh:
+        # Across hosts the trial list is fanned out, not the mesh
+        # (docs/SCALING.md "Inference at scale"); a multi-process mesh is
+        # exactly what the Predictor constructor refuses.
+        raise SystemExit(
+            "--multihost fans trials out across processes; combine it with "
+            "per-host default devices, not --mesh"
+        )
+    # Honor a platform override before any backend initialization — which
+    # includes cluster bring-up — like cli/train.py (env JAX_PLATFORMS
+    # alone is unreliable once a TPU plugin is installed).  --device pins
+    # its own platform in select_device and takes precedence.
     platform = os.environ.get("SENSORIUM_JAX_PLATFORM")
     if platform and not args.device:
         jax.config.update("jax_platforms", platform)
+    cpu_devices = os.environ.get("SENSORIUM_CPU_DEVICES")
+    if cpu_devices:
+        jax.config.update("jax_num_cpu_devices", int(cpu_devices))
+    trial_shard = None
+    if args.multihost:
+        from sensorium_tpu.parallel.multihost import init_from_spec
+
+        init_from_spec(args.multihost)
+        trial_shard = (jax.process_index(), jax.process_count())
     device = select_device(args.device)
     mesh = None
     if args.mesh:
@@ -160,13 +191,28 @@ def main():
             )
     with jax.default_device(device) if device is not None else contextlib.nullcontext():
         if args.split == "folds":
-            predict_folds(args.experiment, args.dataset, args.chunk_size, mesh=mesh)
-            evaluate_folds_predictions(args.experiment, args.dataset)
+            predict_folds(
+                args.experiment, args.dataset, args.chunk_size, mesh=mesh,
+                trial_shard=trial_shard,
+            )
+            if trial_shard is not None:
+                # Every host's trial slice must be on (shared) disk before
+                # the evaluation reads the full prediction set.
+                from sensorium_tpu.parallel.multihost import barrier
+
+                barrier("predict_folds_done")
+            if jax.process_index() == 0:
+                evaluate_folds_predictions(args.experiment, args.dataset)
         else:
             predict_unlabeled_split(
-                args.experiment, args.split, args.dataset, args.chunk_size, mesh=mesh
+                args.experiment, args.split, args.dataset, args.chunk_size, mesh=mesh,
+                trial_shard=trial_shard,
             )
-            if args.dataset == "new":
+            if trial_shard is not None:
+                from sensorium_tpu.parallel.multihost import barrier
+
+                barrier("predict_split_done")
+            if args.dataset == "new" and jax.process_index() == 0:
                 make_submission(args.experiment, args.split)
 
 

@@ -107,19 +107,9 @@ def init_multihost(spec: str) -> None:
     (``parallel.mesh.shard_batch``).  File artifacts (checkpoints, logs,
     config snapshots) are written by process 0 only.
     """
-    if spec == "auto":
-        jax.distributed.initialize()
-    else:
-        coordinator, num_processes, process_id = spec.rsplit(",", 2)
-        jax.distributed.initialize(
-            coordinator,
-            num_processes=int(num_processes),
-            process_id=int(process_id),
-        )
-    print(
-        f"Multihost: process {jax.process_index()}/{jax.process_count()}, "
-        f"{len(jax.devices())} global devices"
-    )
+    from sensorium_tpu.parallel.multihost import init_from_spec
+
+    init_from_spec(spec)
 
 
 def probe_device_count() -> int:
@@ -449,6 +439,12 @@ def train_mouse(
     )
 
     model.build_state(seed=seed, learning_rate=schedule)
+    if config.get("init_from"):
+        # Warm-start from an inference checkpoint (converted reference
+        # weights or a previous run's EMA save); optimizer/schedule stay
+        # fresh.  See MouseModel.init_from_checkpoint.
+        model.init_from_checkpoint(config["init_from"])
+        print("Warm-start init from", config["init_from"])
     # ".orbax" routes resume state through the sharded (orbax) backend:
     # per-process shard writes, mesh-placed restore, no host gather.
     state_name = "train_state.orbax" if sharded_checkpoint else "train_state.ckpt"

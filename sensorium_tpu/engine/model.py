@@ -182,6 +182,50 @@ class MouseModel:
         self._val_step = None
         return self.state
 
+    def init_from_checkpoint(self, file_path) -> None:
+        """Warm-start: replace the freshly built weights (and EMA copies)
+        with those of an inference checkpoint, keeping optimizer state,
+        step count and schedule at zero.
+
+        Fine-tune entry the reference lacks (its only checkpoint loads are
+        full ``argus.load_model`` for inference/teachers,
+        /root/reference/src/predictors.py:25, scripts/train.py:62): any
+        converted reference checkpoint (``cli/import_torch``) or previous
+        EMA checkpoint becomes the initialization of a new training run via
+        ``config["init_from"]``.  Also the backbone of the deterministic
+        learning-parity harness (tools/learning_parity.py), which trains
+        both stacks from one shared torch init.
+        """
+        if self.state is None:
+            raise RuntimeError("Call build_state() before init_from_checkpoint()")
+        payload = ckpt.load_model_checkpoint(file_path)
+        nn_state = payload["nn_state"]
+
+        def take(new, old):
+            new = jnp.asarray(new)
+            if new.shape != old.shape:
+                raise ValueError(
+                    f"init_from checkpoint leaf shape {new.shape} does not "
+                    f"match the built model's {old.shape} — config/checkpoint "
+                    "architecture mismatch"
+                )
+            return new.astype(old.dtype)
+
+        params = jax.tree_util.tree_map(take, nn_state["params"], self.state.params)
+        batch_stats = jax.tree_util.tree_map(
+            take, nn_state.get("batch_stats", {}), self.state.batch_stats
+        )
+        replace = dict(params=params, batch_stats=batch_stats)
+        if self.state.ema_params is not None:
+            # Distinct buffers: the donated train step must never alias
+            # the EMA trees with the live ones (same rule as build_state).
+            copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+            replace.update(
+                ema_params=copy_tree(params), ema_batch_stats=copy_tree(batch_stats)
+            )
+        self.state = self.state.replace(**replace)
+        self.state = mesh_lib.shard_state(self.mesh, self.state, self.tensor_parallel)
+
     # ---------------------------------------------------------------- steps
 
     def _ensure_train_step(self):

@@ -415,9 +415,19 @@ def _load_trial_arrays(trial_data: dict) -> tuple[np.ndarray, np.ndarray, np.nda
 
 
 def predict_mouse_split(
-    mouse: str, split: str, predictors: list[Predictor], save_dir: Path
+    mouse: str,
+    split: str,
+    predictors: list[Predictor],
+    save_dir: Path,
+    trial_shard: tuple[int, int] | None = None,
 ) -> None:
     """Blend several predictors (fold models) over one mouse's split trials.
+
+    ``trial_shard=(i, n)`` predicts only every n-th trial starting at i —
+    the multi-host fan-out unit (docs/SCALING.md "Inference at scale":
+    trials are embarrassingly parallel, so hosts split the trial list
+    rather than stretching one mesh across processes; each trial's
+    ``.npy`` is written by exactly one host, into the shared dir).
 
     The trial arrays are loaded from disk ONCE per trial and shared by all
     predictors (the unlabeled flow blends 7 fold models — per-predictor
@@ -446,8 +456,12 @@ def predict_mouse_split(
     shared_staging = all(
         p.stage_signature() == lead.stage_signature() for p in predictors[1:]
     )
+    trials = mouse_data["trials"]
+    if trial_shard is not None:
+        index, count = trial_shard
+        trials = trials[index::count]
     pending: tuple[Path, jax.Array | np.ndarray] | None = None
-    for trial_data in mouse_data["trials"]:
+    for trial_data in trials:
         video, behavior, pupil_center = _load_trial_arrays(trial_data)
         if shared_staging:
             staged = lead.stage_trial(video, behavior, pupil_center)

@@ -87,7 +87,11 @@ def accum_dtype(x: jax.Array):
     """
     if _portable_backend(x):
         return None
-    return jnp.float32
+    # promote, don't pin: f32 for bf16/f32 operands (the production
+    # policy), but f64 operands keep f64 accumulation so float64
+    # diagnostics (e.g. semantic-gradient comparisons vs torch.double)
+    # measure the math, not a hidden downcast.
+    return jnp.promote_types(jnp.float32, x.dtype)
 
 
 def einsum_f32(spec: str, *operands: jax.Array) -> jax.Array:
@@ -102,9 +106,10 @@ def einsum_f32(spec: str, *operands: jax.Array) -> jax.Array:
     f32 either way.
     """
     x = operands[0]
+    acc = jnp.promote_types(jnp.float32, x.dtype)
     if _portable_backend(x):
-        return jnp.einsum(spec, *(o.astype(jnp.float32) for o in operands))
-    return jnp.einsum(spec, *operands, preferred_element_type=jnp.float32)
+        return jnp.einsum(spec, *(o.astype(acc) for o in operands))
+    return jnp.einsum(spec, *operands, preferred_element_type=acc)
 
 
 def pointwise(x: jax.Array, kernel: jax.Array) -> jax.Array:

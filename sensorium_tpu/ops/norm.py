@@ -44,19 +44,34 @@ class BatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
+        # Stats in fp32 for bf16/f32 compute (torch-AMP semantics); promoted
+        # for f64 inputs so float64 diagnostics measure real f64 math.
+        stats_dtype = jnp.promote_types(jnp.float32, x.dtype)
         if train:
-            x32 = x.astype(jnp.float32)
-            # Two jnp.mean calls, NOT a variadic one-pass lax.reduce: the
-            # variadic form was A/B-measured on v5e and loses — XLA cannot
-            # fuse the squaring into a multi-operand reduce, so it
-            # materializes the f32 square (+3.7 GB at flagship shapes, OOM),
-            # while the standalone two-reduce form compiles to a single pass.
+            x32 = x.astype(stats_dtype)
+            # SHIFTED one-pass variance: E[(x-c)^2] - (E[x]-c)^2 with
+            # c = running_mean (a constant w.r.t. differentiation).  The
+            # naive one-pass E[x^2] - E[x]^2 catastrophically cancels in
+            # fp32 whenever |mean|/std is large (post-conv activations
+            # reach mean/std ~30 on real data): the variance — and every
+            # gradient flowing through the normalization — loses ~1e-4
+            # relative precision per BN layer, a persistent state-correlated
+            # bias that measurably shifts 12-epoch training trajectories
+            # (LEARNING_PARITY_r05.json; torch's two-pass E[(x-mu)^2] keeps
+            # ~1e-7).  Shifting by the running mean restores two-pass
+            # accuracy (the residual error scales with ((mu-c)/std)^2,
+            # tiny once stats warm up) while keeping the single fused
+            # read of x: the subtract+square fuses into the reduce, so no
+            # f32 temporary materializes (the variadic one-pass lax.reduce
+            # A/B'd on v5e DID materialize the square -> +3.7 GB OOM; the
+            # standalone two-reduce form compiles to a single pass).
+            shift = jax.lax.stop_gradient(running_mean.value)
             mean = jnp.mean(x32, axis=reduce_axes)
-            mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+            mean_csq = jnp.mean(jnp.square(x32 - shift), axis=reduce_axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
-                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
-            var = mean_sq - jnp.square(mean)
+                mean_csq = jax.lax.pmean(mean_csq, self.axis_name)
+            var = mean_csq - jnp.square(mean - shift)
 
             count = 1
             for axis in reduce_axes:
@@ -76,5 +91,5 @@ class BatchNorm(nn.Module):
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
         # Single fused multiply-add per element in fp32, cast once at the end.
-        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        y = x.astype(stats_dtype) * inv + (bias - mean * inv)
         return y.astype(self.dtype)

@@ -22,7 +22,9 @@ SYNTH_LABELED_TRIALS = 7  # one per fold under the identity-phash mock
 SYNTH_IMAGE_SIZE = (16, 16)
 
 
-def build_synthetic_dataset(root: Path, seed: int = 0) -> None:
+def build_synthetic_dataset(root: Path, seed: int = 0, test_trials: int = 1) -> None:
+    """``test_trials``: unlabeled trials PER TEST SPLIT per new mouse (>1
+    exercises multi-trial fan-out, e.g. the multihost predict test)."""
     rng = np.random.default_rng(seed)
     height, width = SYNTH_VIDEO_SHAPE
     length = SYNTH_TRIAL_LENGTH
@@ -42,13 +44,17 @@ def build_synthetic_dataset(root: Path, seed: int = 0) -> None:
             (mouse_dir / sub).mkdir(parents=True, exist_ok=True)
 
         new_mouse = mouse in constants.new_mice
-        # New mice carry two unlabeled test trials; old mice have 'none'
+        # New mice carry unlabeled test trials; old mice have 'none'
         # tiers there (their unlabeled data is refolded by the reference
         # logic, which the tests sidestep by keeping them 'none').
         if new_mouse:
-            tiers = ["train"] * SYNTH_LABELED_TRIALS + ["live_test_main", "final_test_main"]
+            tiers = (
+                ["train"] * SYNTH_LABELED_TRIALS
+                + ["live_test_main"] * test_trials
+                + ["final_test_main"] * test_trials
+            )
         else:
-            tiers = ["train"] * SYNTH_LABELED_TRIALS + ["none", "none"]
+            tiers = ["train"] * SYNTH_LABELED_TRIALS + ["none"] * (2 * test_trials)
         np.save(mouse_dir / "meta" / "trials" / "tiers.npy", np.array(tiers))
         np.save(
             mouse_dir / "meta" / "neurons" / "unit_ids.npy",

@@ -113,6 +113,55 @@ class TestTrainCLI:
         out = capsys.readouterr().out
         assert "Resumed from epoch" in out
 
+    def test_init_from_checkpoint_warm_start(self, trained_fold):
+        """config['init_from'] seeds a NEW run with a checkpoint's EMA
+        weights (live + EMA trees) while optimizer state stays fresh —
+        the fine-tune entry the reference lacks and the backbone of
+        tools/learning_parity.py."""
+        import jax
+        import numpy as np
+
+        from sensorium_tpu.engine import checkpoint as ckpt
+        from sensorium_tpu.engine.model import MouseModel
+
+        save_dir, _, config = trained_fold
+        ckpt_path = get_best_model_path(save_dir)
+        payload = ckpt.load_model_checkpoint(ckpt_path)
+
+        fresh = MouseModel(config["argus_params"])
+        fresh.set_ema(0.5)
+        fresh.build_state(seed=123, learning_rate=1e-3)
+        before = jax.device_get(fresh.state.params)
+        fresh.init_from_checkpoint(ckpt_path)
+
+        loaded = jax.device_get(fresh.state.params)
+        want = payload["nn_state"]["params"]
+        flat_l = jax.tree_util.tree_leaves(loaded)
+        flat_w = jax.tree_util.tree_leaves(want)
+        flat_b = jax.tree_util.tree_leaves(before)
+        assert any(
+            not np.array_equal(b, w) for b, w in zip(flat_b, flat_w)
+        ), "seed-123 init accidentally equals the checkpoint"
+        for got, w in zip(flat_l, flat_w):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(w))
+        for got, w in zip(jax.tree_util.tree_leaves(
+            jax.device_get(fresh.state.ema_params)
+        ), flat_w):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(w))
+        # Optimizer state stays fresh (step 0).
+        assert int(jax.device_get(fresh.state.step)) == 0
+
+        # Architecture mismatch fails with a clear error, not a tree error.
+        other = MouseModel(
+            {**config["argus_params"], "nn_module": (
+                config["argus_params"]["nn_module"][0],
+                {**config["argus_params"]["nn_module"][1], "cortex_features": (8, 8)},
+            )}
+        )
+        other.build_state(seed=0, learning_rate=1e-3)
+        with pytest.raises(ValueError, match="architecture mismatch"):
+            other.init_from_checkpoint(ckpt_path)
+
     def test_three_stage_plan_numbers_epochs_cumulatively(self, synth_env, capsys):
         """A stage beyond ['warmup','train'] starts after ALL previous
         stages' epochs: global epoch numbering must not collide and

@@ -212,14 +212,27 @@ def _reference_val_corr(model, val_loader, torch):
     return float(np.mean(corrs))
 
 
-def run_torch_stack(config: dict, seed: int = 0) -> float:
+def run_torch_stack(
+    config: dict,
+    seed: int = 0,
+    initial_state_dict: dict | None = None,
+    data_seed: int | None = None,
+    per_epoch: bool = False,
+):
     """Train the torch REFERENCE stack (its own DwiseNeuro + init_weights +
     MicePoissonLoss + train_step semantics from argus_models.py:43-71 +
     ModelEma + the warmup LambdaLR/CosineAnnealingLR plan) on the same
     recipe (must be called inside ``learnable_environment``); return the
     held-out EMA val_corr.  Data flows through this repo's loader, whose
     window/processor semantics are bit-parity-pinned elsewhere
-    (test_data.py, test_fill_loader.py)."""
+    (test_data.py, test_fill_loader.py).
+
+    ``initial_state_dict`` replaces ``init_weights`` with a fixed starting
+    point; ``data_seed`` pins the dataset/loader seeds (default ``seed+1``,
+    the historical offset — pass ``seed`` to match ``train_mouse``'s
+    stream bit-for-bit for the deterministic parity harness);
+    ``per_epoch=True`` returns the list of per-epoch EMA val_corr values
+    instead of only the final one."""
     import torch
     from copy import deepcopy
 
@@ -242,10 +255,15 @@ def run_torch_stack(config: dict, seed: int = 0) -> float:
 
     torch.manual_seed(seed)
     model = ref_model_mod.DwiseNeuro(**nn_kwargs)
-    ref_utils.init_weights(model)
+    if initial_state_dict is None:
+        ref_utils.init_weights(model)
+    else:
+        model.load_state_dict(initial_state_dict)
     ema = deepcopy(model)
     ema.eval()
     loss_mod = ref_losses.MicePoissonLoss()
+    if data_seed is None:
+        data_seed = seed + 1
 
     indexer = WindowIndexer(**argus_params["frame_stack"])
     inputs_processor = get_inputs_processor(*argus_params["inputs_processor"])
@@ -257,10 +275,10 @@ def run_torch_stack(config: dict, seed: int = 0) -> float:
     train_dataset = TrainMiceDataset(
         train_mice, indexer, inputs_processor, responses_processor,
         mouse_epoch_size=config["train_epoch_size"] // constants.num_mice,
-        mixer=None, seed=seed + 1,
+        mixer=None, seed=data_seed,
     )
     train_loader = MiceDataLoader(
-        train_dataset, batch_size=config["batch_size"], shuffle=True, seed=seed + 1,
+        train_dataset, batch_size=config["batch_size"], shuffle=True, seed=data_seed,
         num_threads=2, drop_last=True,
     )
     val_loader = MiceDataLoader(
@@ -270,15 +288,15 @@ def run_torch_stack(config: dict, seed: int = 0) -> float:
 
     iters_per_epoch = len(train_dataset) // config["batch_size"]
     warmup_epochs, train_epochs = config["num_epochs"]
-    peak_lr = argus_params["optimizer"][1]["lr"]
-    wd = argus_params["optimizer"][1]["weight_decay"]
     min_lr = get_lr(config["min_base_lr"], config["batch_size"])
     ema_decay = config["ema_decay"]
 
-    opt = torch.optim.AdamW(model.parameters(), lr=peak_lr, weight_decay=wd)
+    opt_name, opt_kwargs = argus_params["optimizer"]
+    opt = getattr(torch.optim, opt_name)(model.parameters(), **opt_kwargs)
     sched = torch.optim.lr_scheduler.LambdaLR(
         opt, lambda x: x / (warmup_epochs * iters_per_epoch)
     )
+    curve = []
     for epoch in range(warmup_epochs + train_epochs):
         if epoch == warmup_epochs:
             sched = torch.optim.lr_scheduler.CosineAnnealingLR(
@@ -286,6 +304,7 @@ def run_torch_stack(config: dict, seed: int = 0) -> float:
             )
         train_loader.set_epoch(epoch)
         model.train()
+        train_losses = []
         for batch in train_loader:
             opt.zero_grad()
             prediction = model(torch.from_numpy(np.asarray(batch.inputs)))
@@ -299,13 +318,36 @@ def run_torch_stack(config: dict, seed: int = 0) -> float:
             loss = loss_mod(prediction, (target_list, weights))
             loss.backward()
             opt.step()
+            train_losses.append(float(loss.detach()))
             with torch.no_grad():
                 for e_v, m_v in zip(
                     ema.state_dict().values(), model.state_dict().values()
                 ):
                     e_v.copy_(ema_decay * e_v + (1.0 - ema_decay) * m_v)
             sched.step()
+        if per_epoch:
+            # Per-epoch record mirroring the engine's log.csv columns so the
+            # parity harness can localize a divergence (train step vs
+            # eval/EMA vs metric).
+            val_losses = []
+            with torch.no_grad():
+                for batch in val_loader:
+                    preds = ema(torch.from_numpy(np.asarray(batch.inputs)))
+                    tl = [
+                        torch.from_numpy(np.asarray(batch.targets)[:, :NUM_NEURONS])
+                    ] * constants.num_mice
+                    w = torch.from_numpy(np.asarray(batch.weights))
+                    val_losses.append(float(loss_mod(preds, (tl, w))))
+            curve.append(
+                {
+                    "val_corr": _reference_val_corr(ema, val_loader, torch),
+                    "train_loss": float(np.mean(train_losses)),
+                    "val_loss": float(np.mean(val_losses)),
+                }
+            )
 
+    if per_epoch:
+        return curve
     return _reference_val_corr(ema, val_loader, torch)
 
 
