@@ -240,6 +240,7 @@ class MouseModel:
                 iter_size=self.iter_size,
                 distill_ratio=self.distill_ratio,
                 teacher_model=self.teacher_module,
+                mesh=self.mesh,
             )
         return self._train_step
 

@@ -18,6 +18,7 @@ update — compiles to a single XLA executable:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any, Callable
 
@@ -39,15 +40,30 @@ def make_train_step(
     distill_ratio: float = 0.0,
     teacher_model=None,
     donate: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step.
 
     Returns ``step(state, inputs, targets, weights[, teacher_vars])``
     -> ``(new_state, loss)``.  ``teacher_vars`` is a dict with keys
     ``params`` / ``batch_stats`` when distillation is enabled.
+    ``mesh``: the device mesh the step will run on (None = single device);
+    multi-axis meshes are declared to the depthwise-conv custom VJP so its
+    weight gradient sidesteps the jax-0.9.0 partitioner bug
+    (ops/conv.py ``dw_sharded_mesh``).
     """
     use_ema = ema_decay > 0.0
     use_distill = distill_ratio > 0.0 and teacher_model is not None
+
+    if mesh is not None and len(mesh.shape) >= 2:
+        from sensorium_tpu.ops.conv import dw_sharded_mesh
+        from sensorium_tpu.parallel.mesh import data_axes
+
+        def trace_ctx():
+            return dw_sharded_mesh(mesh, data_axes(mesh))
+    else:
+        def trace_ctx():
+            return contextlib.nullcontext()
 
     def microbatch_update(params, batch_stats, rng, inputs, targets, weights, teacher_vars):
         def compute_loss(p):
@@ -83,6 +99,12 @@ def make_train_step(
         return loss, new_stats, grads
 
     def step(state: TrainState, inputs, targets, weights, teacher_vars=None):
+        # contextvar scope at TRACE time: the whole body (incl. the VJP
+        # rules built by value_and_grad) traces under the declared mesh.
+        with trace_ctx():
+            return _step_body(state, inputs, targets, weights, teacher_vars)
+
+    def _step_body(state: TrainState, inputs, targets, weights, teacher_vars=None):
         rng, step_rng = jax.random.split(state.rng)
 
         if iter_size == 1:

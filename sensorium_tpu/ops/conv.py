@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -164,22 +165,7 @@ _DW_DIMENSION_NUMBERS = jax.lax.ConvDimensionNumbers(
 )
 
 
-def depthwise_conv_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
-    """Depthwise (1, k, k) conv over (H, W) with 'same' torch padding.
-
-    x: (B, T, H, W, C), kernel: (k, k, C).  Output spatial size is
-    floor((S + 2*(k//2) - k)/stride) + 1, matching torch Conv3d.
-
-    Lowered as one ``conv_general_dilated`` with ``feature_group_count=C``
-    — a single fused op in both directions.  (An unrolled shifted-add
-    formulation computes the same thing but its transpose materializes k*k
-    separately-padded copies of the expanded activation, which blows HBM at
-    the training batch size.)
-    """
-    if _dw_implementation() == "pallas":
-        from sensorium_tpu.ops.pallas_dw import dw_spatial
-
-        return dw_spatial(x, kernel.astype(x.dtype), stride)
+def _dw_spatial_raw(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
     k = kernel.shape[0]
     pad = k // 2
     c = x.shape[-1]
@@ -196,15 +182,120 @@ def depthwise_conv_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> 
     )
 
 
-def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise (k, 1, 1) conv over T with 'same' torch padding.
+# The mesh whose data axes the dw-conv WEIGHT gradient must psum over.
+# jax 0.9.0's partitioner (GSPMD and Shardy alike) computes the wgrad of a
+# ``feature_group_count`` conv — a ``batch_group_count`` conv — WRONG on
+# multi-axis meshes: the result comes back multiplied by the extent of
+# mesh axes the operands are not even sharded over (measured exactly 4x on
+# a (data=2, model=4) mesh; repro pinned in tests/test_parallel.py
+# ``TestDwWgradPartitioning``).  The engine's train step declares its mesh
+# here (``dw_sharded_mesh``), and the custom VJP below then computes the
+# wgrad inside a shard_map MANUAL region — per-shard XLA wgrad conv (same
+# fused kernel as single-device) + an explicit psum over the batch axes —
+# bypassing the partitioner entirely.  ContextVar: trace-time scoping,
+# concurrent traces can't leak each other's mesh.
+_DW_WGRAD_MESH = contextvars.ContextVar("sensorium_dw_wgrad_mesh", default=None)
 
-    x: (B, T, H, W, C), kernel: (k, C).
+
+@contextlib.contextmanager
+def dw_sharded_mesh(mesh, batch_axes: tuple[str, ...]):
+    """Trace-time declaration: inputs of dw convs are batch-sharded over
+    ``batch_axes`` of ``mesh``.  Wrap TRACES of training steps that run on
+    a multi-axis mesh (the engine does this automatically)."""
+    token = _DW_WGRAD_MESH.set((mesh, tuple(batch_axes)))
+    try:
+        yield
+    finally:
+        _DW_WGRAD_MESH.reset(token)
+
+
+def _kernel_transpose(raw_fn, kernel, g):
+    """XLA's own fused wgrad conv via the linearity of conv in the kernel
+    (linear_transpose, not jax.vjp — vjp would re-EXECUTE the forward just
+    to build residuals: +1 conv and +113 MB over the flagship HBM budget,
+    measured)."""
+    (dw,) = jax.linear_transpose(
+        raw_fn, jax.ShapeDtypeStruct(kernel.shape, kernel.dtype)
+    )(g)
+    return dw
+
+
+def _dw_wgrad(raw_in_kernel, x_ndim, kernel, x, g):
+    """Depthwise kernel gradient, partitioner-bug-safe (see _DW_WGRAD_MESH).
+
+    ``raw_in_kernel(x, kernel)`` must be the raw conv, linear in kernel.
+    """
+    ctx = _DW_WGRAD_MESH.get()
+    if ctx is None or len(ctx[0].shape) < 2:
+        # Single-device / single-axis meshes: the built-in wgrad is correct.
+        return _kernel_transpose(lambda kk: raw_in_kernel(x, kk), kernel, g)
+    mesh, batch_axes = ctx
+    from jax.sharding import PartitionSpec
+    from jax.experimental.shard_map import shard_map
+
+    batched = PartitionSpec(batch_axes, *([None] * (x_ndim - 1)))
+
+    def local_wgrad(xl, gl):
+        dw = _kernel_transpose(lambda kk: raw_in_kernel(xl, kk), kernel, gl)
+        return jax.lax.psum(dw, batch_axes)
+
+    return shard_map(
+        local_wgrad,
+        mesh=mesh,
+        in_specs=(batched, batched),
+        out_specs=PartitionSpec(),
+        check_rep=False,
+    )(x, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dw_spatial(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
+    return _dw_spatial_raw(x, kernel, stride)
+
+
+def _dw_spatial_fwd(x, kernel, stride):
+    return _dw_spatial_raw(x, kernel, stride), (x, kernel)
+
+
+def _dw_spatial_bwd(stride, residuals, g):
+    x, kernel = residuals
+    # dx through the conv's own transpose: its input-gradient partitioning
+    # is correct (only the WEIGHT gradient over-reduces).
+    (dx,) = jax.linear_transpose(
+        lambda x_: _dw_spatial_raw(x_, kernel, stride),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(g)
+    dw = _dw_wgrad(
+        lambda xx, kk: _dw_spatial_raw(xx, kk, stride), x.ndim, kernel, x, g
+    )
+    return dx, dw
+
+
+_dw_spatial.defvjp(_dw_spatial_fwd, _dw_spatial_bwd)
+
+
+def depthwise_conv_spatial(x: jax.Array, kernel: jax.Array, stride: int = 1) -> jax.Array:
+    """Depthwise (1, k, k) conv over (H, W) with 'same' torch padding.
+
+    x: (B, T, H, W, C), kernel: (k, k, C).  Output spatial size is
+    floor((S + 2*(k//2) - k)/stride) + 1, matching torch Conv3d.
+
+    Forward: one ``conv_general_dilated`` with ``feature_group_count=C``.
+    Backward: custom VJP — the conv's own transpose for dx, an explicit
+    tap-reduce for dw (the partitioner's built-in wgrad is WRONG on
+    multi-axis meshes; see ``_dw_spatial_wgrad``).  (An unrolled
+    shifted-add FORWARD was also measured and rejected: its transpose
+    materializes k*k separately-padded copies of the expanded activation,
+    which blows HBM at the training batch size.)
     """
     if _dw_implementation() == "pallas":
-        from sensorium_tpu.ops.pallas_dw import dw_temporal
+        from sensorium_tpu.ops.pallas_dw import dw_spatial
 
-        return dw_temporal(x, kernel.astype(x.dtype))
+        return dw_spatial(x, kernel.astype(x.dtype), stride)
+    return _dw_spatial(x, kernel, stride)
+
+
+def _dw_temporal_raw(x: jax.Array, kernel: jax.Array) -> jax.Array:
     k = kernel.shape[0]
     pad = k // 2
     c = x.shape[-1]
@@ -216,3 +307,39 @@ def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
         dimension_numbers=_DW_DIMENSION_NUMBERS,
         feature_group_count=c,
     )
+
+
+@jax.custom_vjp
+def _dw_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return _dw_temporal_raw(x, kernel)
+
+
+def _dw_temporal_fwd(x, kernel):
+    return _dw_temporal_raw(x, kernel), (x, kernel)
+
+
+def _dw_temporal_bwd(residuals, g):
+    x, kernel = residuals
+    (dx,) = jax.linear_transpose(
+        lambda x_: _dw_temporal_raw(x_, kernel),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(g)
+    dw = _dw_wgrad(_dw_temporal_raw, x.ndim, kernel, x, g)
+    return dx, dw
+
+
+_dw_temporal.defvjp(_dw_temporal_fwd, _dw_temporal_bwd)
+
+
+def depthwise_conv_temporal(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Depthwise (k, 1, 1) conv over T with 'same' torch padding.
+
+    x: (B, T, H, W, C), kernel: (k, C).  Backward mirrors
+    ``depthwise_conv_spatial``: conv transpose for dx, explicit tap-reduce
+    for dw (partitioner wgrad bug — see ``_dw_spatial_wgrad``).
+    """
+    if _dw_implementation() == "pallas":
+        from sensorium_tpu.ops.pallas_dw import dw_temporal
+
+        return dw_temporal(x, kernel.astype(x.dtype))
+    return _dw_temporal(x, kernel)

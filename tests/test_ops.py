@@ -137,6 +137,30 @@ def test_batchnorm_matches_torch(train):
         )
 
 
+def test_batchnorm_variance_survives_large_mean():
+    """The shifted one-pass variance must not catastrophically cancel when
+    |mean|/std is large (post-conv activations on real 0-255 video reach
+    mean/std ~30+).  The naive E[x^2]-E[x]^2 loses ~1e-3 relative accuracy
+    at mean/std=80 in fp32; the running-mean shift restores ~1e-7
+    (docs/PERF.md 'the 0.02 question', engineering fallout)."""
+    c = 4
+    x = (RNG.normal(size=(8, 50, c)) * 0.5 + 40).astype(np.float32)
+    truth = x.astype(np.float64).reshape(-1, c).var(axis=0, ddof=1)
+
+    bn = BatchNorm(c)
+    warm_mean = x.reshape(-1, c).mean(axis=0) + RNG.normal(size=(c,)).astype(np.float32) * 0.05
+    var0 = np.ones(c, np.float32)
+    variables = {
+        "params": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+        "batch_stats": {"mean": jnp.asarray(warm_mean, jnp.float32), "var": jnp.asarray(var0)},
+    }
+    _, mutated = bn.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    # Recover the unbiased batch var from the torch momentum update.
+    got = (np.asarray(mutated["batch_stats"]["var"]) - 0.9 * var0) / 0.1
+    rel = np.abs(got - truth) / truth
+    assert rel.max() < 1e-5, f"shifted variance lost precision: rel={rel.max():.2e}"
+
+
 def test_position_encoding_channel_budget():
     # C=64 -> 22 channels per axis; table truncated to 64 channels.
     pe = position_encoding_3d(64, 4, 6, 6)

@@ -598,3 +598,79 @@ class TestMeshFactoring:
     def test_oversubscription_is_an_error(self):
         with pytest.raises(ValueError, match="does not fit"):
             create_mesh(num_data=16, num_model=2)
+
+
+class TestDwWgradPartitioning:
+    """Regression pins for the jax-0.9.0 partitioner bug this round's
+    flagship numeric cross-check exposed (MULTICHIP_NUMERIC_r05.json):
+    the built-in grouped-conv WEIGHT gradient (a ``batch_group_count``
+    conv) comes back multiplied by the extent of mesh axes the operands
+    are not even sharded over — exactly 2x on this {data:4, model:2} mesh
+    (4x on the driver's data=2/model=4 mesh; GSPMD and Shardy alike).
+    The engine declares its mesh via ``dw_sharded_mesh`` so the dw custom
+    VJP computes the wgrad in a shard_map manual region (per-shard XLA
+    wgrad + explicit psum over the batch axes)."""
+
+    CASES = None
+
+    @staticmethod
+    def cases():
+        from sensorium_tpu.ops.conv import (
+            depthwise_conv_spatial,
+            depthwise_conv_temporal,
+        )
+
+        rng = np.random.default_rng(0)
+        return rng, [
+            ("spatial s1", lambda w, xx: depthwise_conv_spatial(xx, w, 1),
+             rng.normal(size=(3, 3, 8)).astype(np.float32)),
+            ("spatial s2", lambda w, xx: depthwise_conv_spatial(xx, w, 2),
+             rng.normal(size=(3, 3, 8)).astype(np.float32)),
+            ("temporal", lambda w, xx: depthwise_conv_temporal(xx, w),
+             rng.normal(size=(3, 8)).astype(np.float32)),
+        ]
+
+    def test_dw_wgrad_correct_on_2d_mesh_with_declared_mesh(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+        from sensorium_tpu.ops.conv import dw_sharded_mesh
+
+        rng, cases = self.cases()
+        x = rng.normal(size=(4, 4, 8, 8, 8)).astype(np.float32)
+        for name, op, w in cases:
+            def f(w_, x_, op=op):
+                return jnp.sum(jnp.square(op(w_, x_)))
+
+            g_single = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(w), jnp.asarray(x)))
+            xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+            ws = jax.device_put(w, NamedSharding(mesh, PartitionSpec()))
+            with dw_sharded_mesh(mesh, ("data",)):
+                # fresh jit: the trace must happen under the declaration,
+                # exactly as make_train_step arranges for the engine.
+                g_sharded = np.asarray(jax.jit(jax.grad(f))(ws, xs))
+            scale = np.abs(g_single).max()
+            np.testing.assert_allclose(
+                g_sharded, g_single, atol=2e-5 * max(scale, 1.0), rtol=1e-5,
+                err_msg=f"{name}: sharded dw wgrad diverges (scale {scale:.3g})",
+            )
+
+    def test_builtin_wgrad_bug_still_present(self, mesh):
+        """Canary for the UPSTREAM bug: WITHOUT the mesh declaration the
+        built-in wgrad is off by exactly the model-axis extent (2x here).
+        When a jax upgrade makes this test fail, the workaround in
+        ops/conv.py can be retired — do that deliberately, don't just
+        delete this test."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        from sensorium_tpu.ops.conv import _dw_spatial_raw
+
+        rng, _ = self.cases()
+        x = rng.normal(size=(4, 4, 8, 8, 8)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 8)).astype(np.float32)
+
+        def f(w_, x_):
+            return jnp.sum(jnp.square(_dw_spatial_raw(x_, w_, 1)))
+
+        g_single = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(w), jnp.asarray(x)))
+        xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+        ws = jax.device_put(w, NamedSharding(mesh, PartitionSpec()))
+        g_sharded = np.asarray(jax.jit(jax.grad(f))(ws, xs))
+        np.testing.assert_allclose(g_sharded, 2.0 * g_single, rtol=1e-4)
