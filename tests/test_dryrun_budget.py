@@ -9,9 +9,10 @@ remat or sharding change that regresses the cold compile+execute time
 trips a test instead of a driver timeout.
 
 Budget: 300 s (the ~5 min driver allowance) on an idle 1-core host —
-measured 141 s cold in MULTICHIP_COLD_r04.json; override with
-``SENSORIUM_DRYRUN_BUDGET_S`` when running under concurrent load
-(measured ~215 s with a full suite running alongside).
+measured 141 s cold in MULTICHIP_COLD_r04.json, 216 s at the round-5 code
+state (MULTICHIP_COLD_r05.json: the shard_map dw-wgrad + shifted-variance
+BN cost extra virtual-CPU compile+execute); override with
+``SENSORIUM_DRYRUN_BUDGET_S`` when running under concurrent load.
 """
 
 from __future__ import annotations
