@@ -266,7 +266,11 @@ class TestTensorParallel:
                 if a.dtype.kind in "iu":  # step counters
                     np.testing.assert_array_equal(a, b, err_msg=name)
                 elif "dw_kernel" in name:
-                    leaf_atol = 5.0 if label == "opt_state" else 5e-3
+                    # Was 5.0/5e-3 pre-r05 — loose enough to mask the
+                    # partitioner wgrad bug (TestDwWgradPartitioning).
+                    # With the shard_map wgrad the measured dw divergence
+                    # is reduction-noise (~5e-6); keep 100x margin.
+                    leaf_atol = 5e-3 if label == "opt_state" else 5e-4
                     np.testing.assert_allclose(a, b, atol=leaf_atol, err_msg=name)
                 else:
                     np.testing.assert_allclose(
